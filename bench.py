@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timing uses a noop-format write so every output column is computed (a bare
+count() would let Catalyst prune the expensive ones). A warmup action runs
+first so JVM/Python-worker startup and the first-touch page-fault cost of
+the numpy arenas (see session.py) are not billed to the first query.
+
+``pipeline_synthetic`` is the flagship: the full near-dup pipeline over a
+deterministic synthetic CC-style corpus (corpus.py) with realistic page
+sizes — the driver tables' ~300-char docs exercise correctness, not scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "20000"))
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from fastcdc_rs_spark.session import spark_session
+
+    spark = spark_session(app="fastcdc-rs-spark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from fastcdc_rs_spark.corpus import corpus_pandas
+    from fastcdc_rs_spark.operators.knn import cosine_near_duplicates
+    from fastcdc_rs_spark.pipeline import DedupConfig, near_dup_clusters
+
+    # -------- warmup (not timed): spin up workers, fault numpy arenas
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _noop_write(entrymod.q_chunks(spark, SF_DIR).limit(2000))
+
+    qnames = [
+        "chunks",
+        "minhash_bands",
+        "simhash",
+        "token_stats",
+        "quality_scores",
+        "doc_fingerprint",
+        "exact_dedup_flags",
+        "ngram_jaccard",
+        "dedup_clusters",
+    ]
+    timings: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in qnames:
+        t0 = time.perf_counter()
+        _noop_write(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # embedding near-dups via the bucketed (scale) path
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    t0 = time.perf_counter()
+    _noop_write(
+        cosine_near_duplicates(emb, threshold=0.8, dim=dim, n_planes=8)
+    )
+    timings["embedding_near_dups_lsh"] = round(time.perf_counter() - t0, 3)
+
+    # flagship: synthetic CC-style corpus at realistic page sizes
+    pdf = corpus_pandas(n_docs=SYNTH_DOCS, seed=42, mean_words=400)
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    sdocs = spark.createDataFrame(pdf[["doc_id", "text"]]).repartition(int(CPUS) * 2)
+    sdocs = sdocs.persist()
+    n = sdocs.count()  # materialize input before timing
+    t0 = time.perf_counter()
+    clusters, _, _ = near_dup_clusters(sdocs, DedupConfig())
+    _noop_write(clusters)
+    dt = time.perf_counter() - t0
+    timings["pipeline_synthetic"] = round(dt, 3)
+    timings["pipeline_synthetic_docs_per_sec"] = round(n / dt, 1)
+
+    total = sum(v for k, v in timings.items() if not k.endswith("docs_per_sec"))
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""Exact and n-gram deduplication operators (training-data pipeline ops).
+
+* ``exact_duplicates`` — hash-groupBy exact dedup: one shuffle on the text
+  hash, map-side partial aggregation free from Catalyst. The canonical doc
+  per group is the minimum id (deterministic keep-first).
+* ``dedup_flags`` — per-doc is_duplicate flag via the same aggregation
+  (join back on the hash, no window over the full table needed).
+* ``ngram_jaccard_pairs`` — exact token-n-gram Jaccard over candidate
+  pairs from a shared-shingle inverted index: explode shingles → self-join
+  on shingle → count distinct shared shingles per pair → Jaccard from
+  |A∩B| / (|A| + |B| - |A∩B|). Fully JVM-side and oracle-expressible.
+
+All hashing here uses the portable md5-based hash (functions/portable.py)
+so these operators are oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.portable import md5_long
+
+__all__ = ["exact_duplicates", "dedup_flags", "token_ngrams", "ngram_jaccard_pairs"]
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, canonical_id) for every duplicated text."""
+    return (
+        docs.select(md5_long(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_flags(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, is_duplicate): keep-first exact dedup."""
+    hashed = docs.select(F.col(id_col), md5_long(text_col).alias("text_hash"))
+    canon = hashed.groupBy("text_hash").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, "text_hash")
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ngram_hash) — distinct md5-hashed token n-grams, exploded.
+
+    Docs with fewer than n tokens contribute their whole token sequence as
+    one n-gram.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.explode(grams).alias("ngram")
+    ).select(id_col, md5_long("ngram").alias("ngram_hash")).distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(a, b, jaccard) for doc pairs with token-n-gram Jaccard >= threshold.
+
+    Inverted-index join: pairs sharing no n-gram are never materialized.
+    The shuffle key is the n-gram hash; hot n-grams (boilerplate) fan out
+    quadratically, so at scale feed this from ``token_ngrams`` with a
+    document-frequency cap — here expressed as a configurable filter.
+    """
+    grams = token_ngrams(docs, n, text_col, id_col)
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    ga = grams.select(F.col(id_col).alias("a"), "ngram_hash")
+    gb = grams.select(F.col(id_col).alias("b"), "ngram_hash")
+    inter = (
+        ga.join(gb, "ngram_hash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,89 @@
+"""LSH banding + candidate-pair generation (SURVEY.md §2.B B6/B8/B12).
+
+``band_keys`` splits each MinHash signature into ``b`` bands of ``r`` rows
+and hashes each band JVM-side (``xxhash64`` over the band slice) — docs
+sharing any band key are candidates.
+
+``candidate_pairs`` generates (a, b) pairs per bucket with explicit skew
+handling: buckets up to ``bucket_cap`` docs emit all pairs (an equi
+self-join Catalyst plans as a shuffled hash join; AQE splits skewed keys);
+larger buckets — boilerplate bands, giant clusters — emit *star* pairs
+(every member against the bucket minimum) instead of the quadratic
+all-pairs set. Star edges preserve the bucket's connectivity for
+connected-components clustering, so recall of the *clustering* survives the
+cap while join fan-out stays linear; the drop is observable in the returned
+metrics (``capped_buckets``/``capped_docs``) rather than silent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["band_keys", "candidate_pairs"]
+
+
+def band_keys(signed: DataFrame, bands: int = 16, rows: int = 8,
+              sig_col: str = "minhash", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per signature band."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws("\x1f", F.slice(F.col(sig_col), b * rows + 1, rows))),
+    )
+    return (
+        signed.select(id_col, F.posexplode(band_arr).alias("band_id", "band_hash"))
+    )
+
+
+def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
+                    id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Distinct candidate pairs (a < b) from band buckets; also returns a
+    1-row metrics DataFrame with bucket statistics (nothing is dropped
+    silently — capped buckets degrade to star pairs, counted here).
+    """
+    # Bucket statistics first; the giant buckets are never materialized as
+    # row-level lists — only small buckets (<= cap members) use collect_list,
+    # so no single row can exceed cap * 8 bytes regardless of data skew.
+    sizes = bands_df.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size"),
+        F.min(id_col).alias("bucket_min"),
+    ).where(F.col("bucket_size") > 1)
+    annotated = bands_df.join(sizes, ["band_id", "band_hash"])
+
+    small_pairs = (
+        annotated.where(F.col("bucket_size") <= bucket_cap)
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("members"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "members",
+                            lambda x: F.transform(
+                                "members", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+
+    star_pairs = (
+        annotated.where(F.col("bucket_size") > bucket_cap)
+        .select(F.col("bucket_min").alias("a"), F.col(id_col).alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+
+    pairs = small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b"])
+
+    metrics = sizes.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(F.when(F.col("bucket_size") > bucket_cap, F.col("bucket_size")).otherwise(0)).alias("capped_docs"),
+    )
+    return pairs, metrics

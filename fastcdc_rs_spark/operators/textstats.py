@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side built-ins (regex counts, length ratios) with exact DuckDB
+oracle twins — no Python in the hot path:
+
+* ``token_stats``     — token/char counts, avg token length;
+* ``quality_scores``  — length, punctuation ratio, stopword ratio,
+  uppercase ratio, digit ratio + a composite keep/drop quality score;
+* ``language_stats``  — per-language corpus aggregates;
+* ``doc_fingerprint`` — deterministic content fingerprint (portable md5);
+* ``langid_heuristic``— n-gram-free stopword-vote language guess (a stub
+  of a real LID model; deterministic and oracle-expressible).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.portable import md5_long
+
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "language_stats",
+    "doc_fingerprint",
+    "langid_heuristic",
+]
+
+_STOPWORDS = ("the", "of", "and", "to", "in", "is", "for", "with", "on", "that")
+
+
+def _n_tokens(text_col: str):
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len)."""
+    n_tok = _n_tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_spaces = n_chars - F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.when(n_tok > 0, (n_chars - n_spaces).cast("double") / n_tok.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score in [0, 1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"]", "")).cast("double") / safe
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double") / safe
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / safe
+    n_tok = _n_tokens(text_col).cast("double")
+    stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all(t, F.lit(stop_pattern), F.lit(0))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        length_ok * 0.4
+        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct <= 0.2, F.lit(0.15)).otherwise(F.lit(0.0))
+        + F.when(digits <= 0.3, F.lit(0.15)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digits, 6).alias("digit_ratio"),
+        F.round(upper, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_stats(docs: DataFrame, text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Per-language aggregates: doc count, mean length, mean tokens."""
+    n_tok = _n_tokens(text_col)
+    return (
+        docs.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+            F.round(F.avg(n_tok.cast("double")), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint): deterministic 60-bit content fingerprint of
+    the whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), md5_long(norm).alias("fingerprint"))
+
+
+def langid_heuristic(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_guess): 'en' when English stopword density >= 2%,
+    else 'other'. A deterministic, oracle-expressible placeholder for a
+    real LID model (which would be a Pandas-UDF over a fastText-style
+    table; the Spark plumbing is identical)."""
+    n_tok = _n_tokens(text_col).cast("double")
+    stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.col(text_col), F.lit(stop_pattern), F.lit(0))).cast("double")
+    ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )

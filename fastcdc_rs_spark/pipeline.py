@@ -1,0 +1,129 @@
+"""End-to-end near-duplicate detection pipeline (SURVEY.md §7 step 4).
+
+documents → FastCDC chunk fingerprints → k-gram shingles → MinHash → LSH
+band buckets → candidate pairs → exact-Jaccard verification → connected
+components → ``clusters(doc_id, cluster_id)``.
+
+Design: all *hashing* (chunk gear hashes, shingle folds, MinHash, band
+keys) is shared numpy kernel code (kernel/), so the single-node recall
+oracle reproduces the Spark results bit-for-bit; all *data movement*
+(explode, bucket groupBy, pair joins, iterative CC) is declarative
+DataFrame code that Catalyst plans — shuffles only on band buckets, pair
+dedup, verification joins, and CC rounds.
+
+Unit-hash modes:
+* ``chunk`` — units are FastCDC chunk gear hashes (CDC-native: boundaries
+  resynchronize after edits, so shingles survive insertions);
+* ``token``/``char`` — units are xxhash64 of text tokens/characters
+  (JVM-side; for corpora whose docs are smaller than a chunk).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .kernel import ChunkerConfig
+from .operators.chunk import chunk_documents
+from .operators.components import connected_components
+from .operators.lsh import candidate_pairs
+from .operators.minhash import minhash_signatures
+from .operators.verify import verify_pairs
+
+__all__ = ["DedupConfig", "dedup_pipeline", "near_dup_clusters", "unit_hashes"]
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # chunker (reference param convention min=avg/4, max=avg*4)
+    chunk_min: int = 64
+    chunk_avg: int = 256
+    chunk_max: int = 1024
+    chunk_level: int = 1
+    chunk_seed: int = 0
+    # unit-hash mode: "chunk" (CDC-native), "token", or "char".
+    # chunk mode with k=1 measures chunk-set overlap (CDC dedup semantics:
+    # localized edits touch few chunks); token mode with k=5 is the robust
+    # choice for small texts with scattered edits.
+    shingle_mode: str = "chunk"
+    shingle_k: int = 1
+    # minhash / LSH: b=32, r=4 puts the s-curve midpoint near J~0.55 with
+    # P(candidate | J=0.65) > 0.995 — recall headroom above the verify
+    # threshold, with exact verification filtering the extra candidates.
+    n_perms: int = 128
+    bands: int = 32
+    rows: int = 4
+    minhash_seed: int = 1
+    # verification + skew
+    threshold: float = 0.6
+    bucket_cap: int = 64
+
+    def chunker(self) -> ChunkerConfig:
+        return ChunkerConfig(
+            self.chunk_min, self.chunk_avg, self.chunk_max,
+            self.chunk_level, self.chunk_seed,
+        )
+
+
+def unit_hashes(docs: DataFrame, cfg: DedupConfig,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, unit_hashes array<long>) under the configured mode."""
+    if cfg.shingle_mode == "chunk":
+        chunks_arr = chunk_documents(
+            docs, cfg.chunker(), content_col=text_col, id_cols=(id_col,), exploded=False
+        )
+        return chunks_arr.select(
+            id_col,
+            F.transform("chunks", lambda c: c["hash"]).alias("unit_hashes"),
+        )
+    if cfg.shingle_mode == "token":
+        arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    elif cfg.shingle_mode == "char":
+        arr = F.split(F.col(text_col), "")
+    else:
+        raise ValueError(f"unknown shingle mode {cfg.shingle_mode!r}")
+    return docs.select(
+        id_col, F.transform(arr, F.xxhash64).alias("unit_hashes")
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the full pipeline; returns (clusters, verified_pairs, metrics).
+
+    clusters: (doc_id, cluster_id) for every input doc (singletons included).
+    verified_pairs: (a, b, jaccard).
+    metrics: single-row bucket statistics from candidate generation.
+    """
+    units = unit_hashes(docs, cfg, id_col, text_col)
+    signed = minhash_signatures(
+        units, k=cfg.shingle_k, n_perms=cfg.n_perms,
+        bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
+    )
+    # shingle sets feed both banding and verification → materialize once
+    signed = signed.persist()
+
+    bands_df = signed.select(
+        id_col, F.posexplode("bands").alias("band_id", "band_hash")
+    )
+    pairs, metrics = candidate_pairs(bands_df, bucket_cap=cfg.bucket_cap, id_col=id_col)
+    shingled = signed.select(id_col, "shingles")
+    verified = verify_pairs(pairs, shingled, threshold=cfg.threshold, id_col=id_col)
+
+    clusters = connected_components(
+        verified, vertices=docs.select(id_col), id_col=id_col
+    )
+    return clusters, verified, metrics
+
+
+def dedup_pipeline(docs: DataFrame, cfg: DedupConfig = DedupConfig(),
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Convenience: clusters only."""
+    clusters, _, _ = near_dup_clusters(docs, cfg, id_col, text_col)
+    return clusters
