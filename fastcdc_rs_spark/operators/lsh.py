@@ -41,14 +41,21 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
     1-row metrics DataFrame with bucket statistics (nothing is dropped
     silently — capped buckets degrade to star pairs, counted here).
     """
-    # Bucket statistics first; the giant buckets are never materialized as
-    # row-level lists — only small buckets (<= cap members) use collect_list,
-    # so no single row can exceed cap * 8 bytes regardless of data skew.
-    sizes = bands_df.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_size"),
-        F.min(id_col).alias("bucket_min"),
+    # Bucket statistics via one window over the band-key shuffle (a single
+    # exchange — the groupBy+join formulation costs two). Giant buckets are
+    # never materialized as row-level lists: only small buckets (<= cap
+    # members) use collect_list, so no single row can exceed cap * 8 bytes
+    # regardless of data skew.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    annotated = bands_df.select(
+        "band_id",
+        "band_hash",
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("bucket_size"),
+        F.min(id_col).over(w).alias("bucket_min"),
     ).where(F.col("bucket_size") > 1)
-    annotated = bands_df.join(sizes, ["band_id", "band_hash"])
 
     small_pairs = (
         annotated.where(F.col("bucket_size") <= bucket_cap)
@@ -80,6 +87,9 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
 
     pairs = small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b"])
 
+    sizes = annotated.groupBy("band_id", "band_hash").agg(
+        F.max("bucket_size").alias("bucket_size")
+    )
     metrics = sizes.agg(
         F.count(F.lit(1)).alias("buckets"),
         F.max("bucket_size").alias("max_bucket"),

@@ -85,7 +85,7 @@ def unit_hashes(docs: DataFrame, cfg: DedupConfig,
     else:
         raise ValueError(f"unknown shingle mode {cfg.shingle_mode!r}")
     return docs.select(
-        id_col, F.transform(arr, F.xxhash64).alias("unit_hashes")
+        id_col, F.transform(arr, lambda t: F.xxhash64(t)).alias("unit_hashes")
     )
 
 
