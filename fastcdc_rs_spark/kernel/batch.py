@@ -13,6 +13,19 @@ batching across documents amortizes that overhead over the whole batch, so
 throughput approaches uint64 memory bandwidth instead of Python call rate.
 The number of rounds is max(chunks-per-doc) in the batch, and finished
 documents drop out each round.
+
+Two exactness tricks keep the numpy work linear:
+
+* the gear recurrence ``h = (h << 2) + c`` at even scan steps annihilates
+  history after 32 shifts (4**32 ≡ 0 mod 2**64), so the per-position hash
+  array is an *affine scan* computable in 6 Hillis-Steele doubling steps
+  with scalar shift multipliers (any even-length span holds exactly half
+  shift steps);
+* the same annihilation makes segmented evaluation exact: the scan runs in
+  ``_SEG``-byte column segments with the previous segment's final hash as
+  a carry column, and rows drop out as soon as their cut point is found —
+  so the average bytes scanned per chunk is ~(cut - min_size), not the
+  full ``max_size`` window (a 2-4x saving on typical data).
 """
 
 from __future__ import annotations
@@ -27,40 +40,97 @@ __all__ = ["chunk_batch"]
 _U64 = np.uint64
 
 # Cap on the stacked scan matrix (uint8 cells) per vector round; rounds are
-# split into sub-rounds beyond this to bound the uint64 temporaries (~16x).
-_STACK_BYTES_CAP = 16 << 20
+# split into sub-rounds beyond this. The uint64 temporaries are bounded by
+# rows x (_SEG+1) x 8B regardless of this cap.
+_STACK_BYTES_CAP = 64 << 20
+
+# Column-segment width for the scan (even; bounds the u64 working set and
+# the overshoot past early cut points).
+_SEG = 8192
 
 
-def _hash_matrix(contrib: np.ndarray) -> np.ndarray:
+def _hash_matrix(contrib: np.ndarray, first_is_shift: bool) -> np.ndarray:
     """Per-position gear hash for each row of a (A, width) contribution
-    matrix. Rows are independent scan windows; position 0 is a shift step.
-
-    The recurrence ``h[i] = m[i] * h[i-1] + c[i]`` (m = 4 at even scan
-    positions — the ``<< 2`` — and 1 at odd) is a first-order affine scan,
-    computed here Hillis-Steele style with doubling offsets 1..32. Six
-    steps suffice for exactness: any multiplier product spanning >= 32 even
-    positions contains 4**32 = 2**64 ≡ 0, so history older than 64 bytes
-    annihilates itself mod 2**64 — the same property the reference kernel
-    gets implicitly from its ``<<`` wraparound. All ops are contiguous
-    full-matrix uint64 ops (no transposes, no strided walks), so throughput
-    is memory-bandwidth-bound regardless of shape.
-    """
+    matrix via the 6-step affine scan. ``first_is_shift`` tells whether the
+    transition into column 1 is a shift step (column 0 may be a carry
+    pseudo-column, whose own multiplier is never used)."""
     a, width = contrib.shape
     h = contrib.copy()
-    # Step d=1: per-position multiplier m[i] = 4 at even i (the shift step),
-    # 1 at odd — expressed as a broadcast left-shift pattern (2 then 0).
     if width > 1:
         pat = np.empty(width - 1, dtype=np.uint64)
-        pat[0::2] = _U64(0)  # positions 1,3,5,... multiply by 1
-        pat[1::2] = _U64(2)  # positions 2,4,6,... multiply by 4
+        if first_is_shift:
+            pat[0::2] = _U64(2)
+            pat[1::2] = _U64(0)
+        else:
+            pat[0::2] = _U64(0)
+            pat[1::2] = _U64(2)
         h[:, 1:] += h[:, :-1] << pat[None, :]
-    # Steps d=2..32: a span of even length d always contains exactly d/2 even
-    # positions, so the composed multiplier is the scalar 4**(d/2) — a shift.
     for d in (2, 4, 8, 16, 32):
         if d >= width:
             break
         h[:, d:] += h[:, :-d] << _U64(d)
     return h
+
+
+def _process_group(
+    s: np.ndarray,
+    lens: np.ndarray,
+    n1s: np.ndarray,
+    mask_lut: np.ndarray,
+    gear: np.ndarray,
+    gear_ls: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scan a stacked window group; returns (cut_idx, hash) per row.
+
+    ``s``: (A, width) uint8 scan bytes (row r valid to lens[r]);
+    ``n1s``: strict-phase length per row. cut_idx = -1 for fallthrough rows
+    (caller uses the clamped remaining); hash = hash at the cut, or at the
+    last scanned byte for fallthrough.
+    """
+    a, width = s.shape
+    cuts = np.full(a, -1, dtype=np.int64)
+    hashes = np.zeros(a, dtype=np.uint64)
+    carry = np.zeros(a, dtype=np.uint64)
+    alive = np.arange(a)
+    seg = 0
+    while alive.size and seg < width:
+        hi = min(seg + _SEG, width)
+        w = hi - seg
+        sub = s[alive, seg:hi]
+        cols = np.arange(seg, hi)
+        even = cols % 2 == 0  # scan positions start even at seg (seg is even)
+        contrib = np.empty((alive.size, w + 1), dtype=np.uint64)
+        contrib[:, 0] = carry[alive]
+        np.copyto(
+            contrib[:, 1:],
+            np.where(even[None, :], gear_ls[sub], gear[sub]),
+        )
+        # transition into column 1 is scan position `seg` (even → shift)
+        h = _hash_matrix(contrib, first_is_shift=True)[:, 1:]
+
+        code = (even[None, :].astype(np.int8)
+                + 2 * (cols[None, :] < n1s[alive, None]).astype(np.int8))
+        masks = mask_lut[code]
+        valid = cols[None, :] < lens[alive, None]
+        hit = ((h & masks) == 0) & valid
+        idx = np.argmax(hit, axis=1)
+        rows = np.arange(alive.size)
+        found = hit[rows, idx]
+
+        cuts[alive[found]] = seg + idx[found]
+        hashes[alive[found]] = h[rows[found], idx[found]]
+
+        # rows whose scan region ends inside this segment fall through
+        ended = (~found) & (lens[alive] <= hi)
+        if ended.any():
+            last = lens[alive[ended]] - 1 - seg
+            hashes[alive[ended]] = h[rows[ended], last]
+
+        cont = ~found & ~ended
+        carry[alive[cont]] = h[cont, -1]
+        alive = alive[cont]
+        seg = hi
+    return cuts, hashes
 
 
 def chunk_batch(bufs: list[np.ndarray], cfg: ChunkerConfig) -> list[list[tuple[int, int, int]]]:
@@ -105,17 +175,16 @@ def chunk_batch(bufs: list[np.ndarray], cfg: ChunkerConfig) -> list[list[tuple[i
             scan_len[i] = (end2 - start, end1 - start, rem_c)
             stacked.append(i)
 
-        # Vector rounds over the stacked windows, split to bound memory.
+        # Vector sub-rounds over the stacked windows, split to bound memory.
         pos = 0
         while pos < len(stacked):
-            width_max = max(scan_len[i][0] for i in stacked[pos:])
-            width = ((width_max + 63) // 64) * 64
-            group_rows = max(1, _STACK_BYTES_CAP // max(width, 1))
+            width_any = scan_len[stacked[pos]][0]
+            group_rows = max(1, _STACK_BYTES_CAP // max(width_any, 1))
             group = stacked[pos:pos + group_rows]
             pos += len(group)
 
             a = len(group)
-            gwidth = ((max(scan_len[i][0] for i in group) + 63) // 64) * 64
+            gwidth = max(scan_len[i][0] for i in group)
             s = np.zeros((a, gwidth), dtype=np.uint8)
             lens = np.empty(a, dtype=np.int64)
             n1s = np.empty(a, dtype=np.int64)
@@ -126,20 +195,8 @@ def chunk_batch(bufs: list[np.ndarray], cfg: ChunkerConfig) -> list[list[tuple[i
                 off = int(processed[i]) + start
                 s[r, :ln] = bufs[i][off:off + ln]
 
-            cols = np.arange(gwidth)
-            even_col = (cols % 2 == 0)
-            contrib = np.where(even_col[None, :], gear_ls[s], gear[s])
-            h = _hash_matrix(contrib)
-
-            code = (even_col[None, :].astype(np.int8)
-                    + 2 * (cols[None, :] < n1s[:, None]).astype(np.int8))
-            masks = mask_lut[code]
-            hit = ((h & masks) == 0) & (cols[None, :] < lens[:, None])
-            idx = np.argmax(hit, axis=1)
-            rows = np.arange(a)
-            found = hit[rows, idx]
-            cut_rel = np.where(found, start + idx, rems)
-            hashes = np.where(found, h[rows, idx], h[rows, lens - 1])
+            cuts, hashes = _process_group(s, lens, n1s, mask_lut, gear, gear_ls)
+            cut_rel = np.where(cuts >= 0, start + cuts, rems)
 
             for r, i in enumerate(group):
                 results[i].append((int(hashes[r]), int(processed[i]), int(cut_rel[r])))
