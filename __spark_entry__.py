@@ -180,6 +180,52 @@ def q_dedup_clusters(spark, sf):
     return clusters.orderBy("doc_id")
 
 
+# Linear-permutation MinHash with EXACT cross-engine arithmetic: Spark
+# decimal(38,0) / DuckDB HUGEINT mulmod with p = 2^61-1. 8 perms, 2 bands
+# of 4 rows; the whole LSH candidate stage becomes oracle-checked (the
+# production pipeline uses the faster splitmix64 family — same structure).
+_P61 = 2305843009213693951
+_PERMS = [
+    (1099511628211, 104729),
+    (2862933555777941757, 12345),
+    (6364136223846793005, 1442695040888963407 % _P61),
+    (3935559000370003845, 2691343689449507681 % _P61),
+    (2685821657736338717, 97531),
+    (1181783497276652981, 8191),
+    (7046029254386353087, 131071),
+    (9219741426852112993 % _P61, 524287),
+]
+
+
+def q_minhash_lsh_sql(spark, sf):
+    docs = _docs(spark, sf)
+    grams = token_ngrams(docs, n=3)
+    dec = "decimal(38,0)"
+    h = F.col("ngram_hash").cast(dec)
+    mins = [
+        F.min(
+            ((F.lit(a).cast(dec) * h + F.lit(b).cast(dec)) % F.lit(_P61).cast(dec))
+        ).cast("long").alias(f"m{j}")
+        for j, (a, b) in enumerate(_PERMS)
+    ]
+    sigs = grams.groupBy("doc_id").agg(*mins)
+    band0 = F.md5(F.concat_ws("_", *[F.col(f"m{j}").cast("string") for j in range(4)]))
+    band1 = F.md5(F.concat_ws("_", *[F.col(f"m{j}").cast("string") for j in range(4, 8)]))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(band0, band1)).alias("band_id", "band_hash"),
+    )
+    left = bands.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    right = bands.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_flags": q_exact_dedup_flags,
@@ -197,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_coverage": q_chunk_coverage,
         "chunks": q_chunks,
         "minhash_bands": q_minhash_bands,
+        "minhash_lsh_sql": q_minhash_lsh_sql,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
     }
@@ -390,6 +437,32 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT unnest(vvec) AS b) z) vv
         )
         SELECT a, b, cosine FROM scored WHERE cosine >= 0.8 ORDER BY a, b
+    """
+
+    mins_sql = ",\n          ".join(
+        f"CAST(min((h::HUGEINT * {a}::HUGEINT + {b}::HUGEINT) % {_P61}::HUGEINT) AS BIGINT) AS m{j}"
+        for j, (a, b) in enumerate(_PERMS)
+    )
+    sql["minhash_lsh_sql"] = f"""
+        WITH {_GRAMS},
+        sigs AS (
+          SELECT doc_id, {mins_sql}
+          FROM (SELECT doc_id, ngram_hash AS h FROM grams)
+          GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band_id,
+                 md5(m0::VARCHAR || '_' || m1::VARCHAR || '_' || m2::VARCHAR || '_' || m3::VARCHAR) AS band_hash
+          FROM sigs
+          UNION ALL
+          SELECT doc_id, 1,
+                 md5(m4::VARCHAR || '_' || m5::VARCHAR || '_' || m6::VARCHAR || '_' || m7::VARCHAR)
+          FROM sigs
+        )
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r USING (band_id, band_hash)
+        WHERE l.doc_id < r.doc_id
+        ORDER BY a, b
     """
 
     sql["chunk_coverage"] = """
