@@ -37,9 +37,11 @@ def simhash_bands(df: DataFrame, n_bands: int = 4,
     """(doc_id, band_id, band_hash): 16-bit slices of the 64-bit simhash."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.shiftrightunsigned(F.col(sim_col), b * width).bitwiseAND(F.lit(mask)),
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col(sim_col), b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
     )
     return df.select(id_col, F.posexplode(band_arr).alias("band_id", "band_hash"))
 

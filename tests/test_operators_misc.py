@@ -1,0 +1,126 @@
+"""Operator tests: multimodal plumbing, knn buckets, dedup semantics,
+and physical-plan quality (pushdown, broadcast, codegen)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from fastcdc_rs_spark.corpus import corpus_pandas
+from fastcdc_rs_spark.operators.dedup import dedup_flags, exact_duplicates
+from fastcdc_rs_spark.operators.knn import (
+    cosine_near_duplicates,
+    cosine_topk_bruteforce,
+    rhp_buckets,
+)
+from fastcdc_rs_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    media_metadata,
+)
+from fastcdc_rs_spark.operators.simhash import hamming_distance_expr, simhash_bands
+
+
+def test_exact_dedup_on_corpus(spark):
+    pdf = corpus_pandas(n_docs=200, seed=42).reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    groups = {r.text_hash: r for r in exact_duplicates(docs).collect()}
+    giant_n = (pdf.dup_kind == "giant").sum()
+    assert max(r.n_docs for r in groups.values()) >= giant_n
+    flags = {r.doc_id: r for r in dedup_flags(docs).collect()}
+    n_dups = sum(1 for r in flags.values() if r.is_duplicate)
+    expected_dups = len(pdf) - pdf.text.nunique()
+    assert n_dups == expected_dups
+    # canonical = min doc_id of each text group
+    for r in flags.values():
+        assert r.canonical_id <= r.doc_id
+
+
+def test_multimodal_image_features(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, bytes(rng.integers(0, 256, 500, dtype=np.uint8))) for i in range(20)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = image_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-5
+        assert r.height >= 2 and r.width >= 2
+    # deterministic
+    feats2 = image_features(media).collect()
+    assert sorted(map(tuple, ((r.media_id, tuple(r.features)) for r in feats))) == \
+           sorted(map(tuple, ((r.media_id, tuple(r.features)) for r in feats2)))
+    meta = media_metadata(media).collect()
+    assert all(r.n_bytes == 500 for r in meta)
+
+
+def test_multimodal_frame_sample(spark):
+    payload = bytes(range(256)) * 20  # 5120 bytes = 20 frames of 256
+    media = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    frames = frame_sample(media, every_n=5).collect()
+    assert [r.frame_idx for r in frames] == [0, 5, 10, 15]
+    # identical frame content → identical hash
+    assert len({r.frame_hash for r in frames}) == 1
+
+
+def test_rhp_bucket_collision_property(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(64).astype(np.float32)
+    rows = []
+    for i in range(30):
+        noise = rng.standard_normal(64).astype(np.float32) * 0.01
+        rows.append((i, [float(x) for x in base + noise]))           # near-dups of base
+    for i in range(30, 60):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))  # random
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bk = {r.vec_id: r.bucket for r in rhp_buckets(vecs, dim=64, n_planes=8).collect()}
+    near_buckets = {bk[i] for i in range(30)}
+    assert len(near_buckets) <= 3  # near-identical vectors collide
+    pairs = cosine_near_duplicates(vecs, threshold=0.95, dim=64, n_planes=8).collect()
+    found = {(r.a, r.b) for r in pairs}
+    # all near-dup pairs of the base cluster found through the bucketed path
+    n_base_pairs = sum(1 for a in range(30) for b in range(a + 1, 30))
+    assert len([p for p in found if p[0] < 30 and p[1] < 30]) >= 0.95 * n_base_pairs
+
+
+def test_simhash_band_guarantee(spark):
+    # Hamming distance <= 3 → at least one of 4 16-bit bands equal
+    df = spark.createDataFrame(
+        [(1, 0x123456789ABCDEF0), (2, 0x123456789ABCDEF0 ^ 0b1011)],
+        "doc_id long, simhash long",
+    )
+    d = df.select(
+        hamming_distance_expr(F.lit(0x123456789ABCDEF0), F.lit(0x123456789ABCDEF0 ^ 0b1011)).alias("h")
+    ).first()["h"]
+    assert d == 3
+    bands = simhash_bands(df, n_bands=4).collect()
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r.doc_id, {})[r.band_id] = r.band_hash
+    shared = [b for b in range(4) if by_doc[1][b] == by_doc[2][b]]
+    assert shared, "distance-3 pair must share a band"
+
+
+def test_plan_quality_pushdown(spark, tmp_path):
+    # predicate + projection pushdown must reach the parquet scan
+    pdf = corpus_pandas(n_docs=100, seed=1).reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf[["doc_id", "text", "lang"]]).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("lang") == "en").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_plan_quality_broadcast_topk(spark):
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = cosine_topk_bruteforce(vecs, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
