@@ -132,6 +132,26 @@ def q_embedding_near_dups(spark, sf):
     ).orderBy("a", "b")
 
 
+def q_extracted_text(spark, sf):
+    # B2 extraction through SQL identity: wrap text in the corpus html
+    # template JVM-side, extract with the real pandas-UDF extractor, and
+    # the oracle asserts byte-identity with the original text.
+    from fastcdc_rs_spark.operators.extract import extract_text
+
+    docs = _docs(spark, sf)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"<html><head></head><nav>boilerplate</nav><body>"),
+            F.encode(F.col("text"), "utf-8"),
+            F.lit(b"</body><footer>footer</footer></html>"),
+        ).alias("html"),
+    )
+    return extract_text(wrapped).select(
+        "doc_id", F.col("text").alias("extracted")
+    ).orderBy("doc_id")
+
+
 def q_chunk_coverage(spark, sf):
     # kernel tiling invariant checked through SQL: per doc, chunk lengths
     # sum to the utf-8 byte length and offsets tile [0, n)
@@ -240,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_cc": q_ngram_cc,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "extracted_text": q_extracted_text,
         "chunk_coverage": q_chunk_coverage,
         "chunks": q_chunks,
         "minhash_bands": q_minhash_bands,
@@ -437,6 +458,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT unnest(vvec) AS b) z) vv
         )
         SELECT a, b, cosine FROM scored WHERE cosine >= 0.8 ORDER BY a, b
+    """
+
+    sql["extracted_text"] = """
+        SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
     """
 
     mins_sql = ",\n          ".join(

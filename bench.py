@@ -65,7 +65,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     _noop_write(entrymod.q_chunks(spark, SF_DIR).limit(2000))
 
-    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "pipeline":
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") in ("pipeline", "sig"):
         # scaling-evidence mode (scripts/scaling.py): the baseline metric is
         # docs/sec chunk+signature throughput; the full pipeline is timed too.
         from fastcdc_rs_spark.pipeline import unit_hashes
@@ -89,10 +89,13 @@ def main() -> None:
         _noop_write(sig)
         dt_sig = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        clusters, _, _ = near_dup_clusters(sdocs, cfg)
-        _noop_write(clusters)
-        dt_pipe = time.perf_counter() - t0
+        if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "sig":
+            dt_pipe = float("nan")
+        else:
+            t0 = time.perf_counter()
+            clusters, _, _ = near_dup_clusters(sdocs, cfg)
+            _noop_write(clusters)
+            dt_pipe = time.perf_counter() - t0
         print(
             json.dumps(
                 {
@@ -102,7 +105,7 @@ def main() -> None:
                     "queries": {
                         "chunk_signature": round(dt_sig, 3),
                         "pipeline_synthetic": round(dt_pipe, 3),
-                        "pipeline_docs_per_sec": round(n / dt_pipe, 1),
+                        "pipeline_docs_per_sec": round(n / dt_pipe, 1) if dt_pipe == dt_pipe else None,
                         "docs": n,
                         "input_mb": round(n_bytes / 1048576, 1),
                         "cores": int(CPUS),

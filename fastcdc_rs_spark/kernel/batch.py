@@ -39,10 +39,12 @@ __all__ = ["chunk_batch"]
 
 _U64 = np.uint64
 
-# Cap on the stacked scan matrix (uint8 cells) per vector round; rounds are
-# split into sub-rounds beyond this. The uint64 temporaries are bounded by
-# rows x (_SEG+1) x 8B regardless of this cap.
-_STACK_BYTES_CAP = 64 << 20
+# Target uint64 working set per vector group (rows x segment-width x 8B).
+# Sized to stay L2-resident: the affine scan revisits its h/contrib
+# temporaries ~10x, so cache-resident groups cut DRAM traffic ~8x — the
+# difference between one core saturating memory bandwidth and eight cores
+# scaling (measured 4-8x aggregate throughput at 8 workers vs huge groups).
+_GROUP_WORK_BYTES = 384 << 10
 
 # Column-segment width for the scan (even; bounds the u64 working set and
 # the overshoot past early cut points).
@@ -175,11 +177,12 @@ def chunk_batch(bufs: list[np.ndarray], cfg: ChunkerConfig) -> list[list[tuple[i
             scan_len[i] = (end2 - start, end1 - start, rem_c)
             stacked.append(i)
 
-        # Vector sub-rounds over the stacked windows, split to bound memory.
+        # Vector sub-rounds over the stacked windows, split so the scan
+        # temporaries stay cache-resident (see _GROUP_WORK_BYTES).
         pos = 0
         while pos < len(stacked):
             width_any = scan_len[stacked[pos]][0]
-            group_rows = max(1, _STACK_BYTES_CAP // max(width_any, 1))
+            group_rows = max(4, _GROUP_WORK_BYTES // (min(max(width_any, 1), _SEG) * 8))
             group = stacked[pos:pos + group_rows]
             pos += len(group)
 

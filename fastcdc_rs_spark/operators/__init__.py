@@ -1,0 +1,49 @@
+"""DataFrame-level pipeline operators (SURVEY.md §2.B)."""
+
+from .chunk import chunk_documents, chunks_udf
+from .components import connected_components
+from .dedup import dedup_flags, exact_duplicates, ngram_jaccard_pairs, token_ngrams
+from .extract import extract_text
+from .knn import cosine_near_duplicates, cosine_topk_bruteforce, rhp_buckets
+from .lsh import candidate_pairs
+from .minhash import minhash_signatures
+from .multimodal import frame_sample, image_features, media_metadata
+from .simhash import hamming_distance_expr, simhash64, simhash_bands
+from .suffix import duplicate_substrings
+from .textstats import (
+    doc_fingerprint,
+    langid_heuristic,
+    language_stats,
+    quality_scores,
+    token_stats,
+)
+from .verify import verify_pairs
+
+__all__ = [
+    "candidate_pairs",
+    "chunk_documents",
+    "chunks_udf",
+    "connected_components",
+    "cosine_near_duplicates",
+    "cosine_topk_bruteforce",
+    "dedup_flags",
+    "doc_fingerprint",
+    "duplicate_substrings",
+    "exact_duplicates",
+    "extract_text",
+    "frame_sample",
+    "hamming_distance_expr",
+    "image_features",
+    "langid_heuristic",
+    "language_stats",
+    "media_metadata",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_scores",
+    "rhp_buckets",
+    "simhash64",
+    "simhash_bands",
+    "token_ngrams",
+    "token_stats",
+    "verify_pairs",
+]
