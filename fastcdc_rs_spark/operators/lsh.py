@@ -1,8 +1,8 @@
 """LSH banding + candidate-pair generation (SURVEY.md §2.B B6/B8/B12).
 
-``band_keys`` splits each MinHash signature into ``b`` bands of ``r`` rows
-and hashes each band JVM-side (``xxhash64`` over the band slice) — docs
-sharing any band key are candidates.
+Band keys are computed kernel-side (kernel/signatures.band_hashes, one
+Arrow pass with the MinHash) and arrive here exploded as
+(doc_id, band_id, band_hash); docs sharing any band key are candidates.
 
 ``candidate_pairs`` generates (a, b) pairs per bucket with explicit skew
 handling: buckets up to ``bucket_cap`` docs emit all pairs (an equi
@@ -20,19 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["band_keys", "candidate_pairs"]
-
-
-def band_keys(signed: DataFrame, bands: int = 16, rows: int = 8,
-              sig_col: str = "minhash", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, band_id, band_hash) — one row per signature band."""
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.concat_ws("\x1f", F.slice(F.col(sig_col), b * rows + 1, rows))),
-    )
-    return (
-        signed.select(id_col, F.posexplode(band_arr).alias("band_id", "band_hash"))
-    )
+__all__ = ["candidate_pairs"]
 
 
 def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,

@@ -56,6 +56,9 @@ class DedupConfig:
     bands: int = 32
     rows: int = 4
     minhash_seed: int = 1
+    # candidate generators: "minhash", "simhash", or "both" (union of pairs)
+    candidates: str = "minhash"
+    simhash_bands_n: int = 4  # 4 x 16-bit Hamming bands (recall for dist<=3)
     # verification + skew
     threshold: float = 0.6
     bucket_cap: int = 64
@@ -102,6 +105,9 @@ def near_dup_clusters(
     metrics: single-row bucket statistics from candidate generation.
     """
     units = unit_hashes(docs, cfg, id_col, text_col)
+    if cfg.candidates != "minhash":
+        # simhash path consumes units again — avoid re-running the chunk UDF
+        units = units.persist()
     signed = minhash_signatures(
         units, k=cfg.shingle_k, n_perms=cfg.n_perms,
         bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
@@ -109,9 +115,21 @@ def near_dup_clusters(
     # shingle sets feed both banding and verification → materialize once
     signed = signed.persist()
 
-    bands_df = signed.select(
-        id_col, F.posexplode("bands").alias("band_id", "band_hash")
-    )
+    if cfg.candidates in ("minhash", "both"):
+        bands_df = signed.select(
+            id_col, F.posexplode("bands").alias("band_id", "band_hash")
+        )
+    else:
+        bands_df = None
+    if cfg.candidates in ("simhash", "both"):
+        from .operators.simhash import simhash64, simhash_bands
+
+        sim = simhash64(units, seed=cfg.minhash_seed, shingles_col="unit_hashes")
+        sim_bands = simhash_bands(sim, n_bands=cfg.simhash_bands_n, id_col=id_col)
+        # offset band ids so minhash and simhash buckets never collide
+        sim_bands = sim_bands.withColumn("band_id", F.col("band_id") + F.lit(1000))
+        bands_df = sim_bands if bands_df is None else bands_df.unionByName(sim_bands)
+
     pairs, metrics = candidate_pairs(bands_df, bucket_cap=cfg.bucket_cap, id_col=id_col)
     shingled = signed.select(id_col, "shingles")
     verified = verify_pairs(pairs, shingled, threshold=cfg.threshold, id_col=id_col)
