@@ -246,6 +246,37 @@ def q_minhash_lsh_sql(spark, sf):
     )
 
 
+def q_simhash_sql(spark, sf):
+    # SQL-expressible SimHash twin: bit-majority over md5-hashed token
+    # 3-grams, bit tests via a broadcast (bit, mask) table so both engines
+    # use exact integer bitwise ops (no float pow). The production kernel
+    # (q_simhash) uses splitmix64 over chunk hashes — same structure.
+    docs = _docs(spark, sf)
+    grams = token_ngrams(docs, n=3).withColumnRenamed("ngram_hash", "h")
+    bits = spark.createDataFrame(
+        [(b, 1 << b) for b in range(60)], "bit int, mask long"
+    )
+    per_bit = (
+        grams.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit", "mask")
+        .agg(
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(0)
+            ).alias("ones"),
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("ones") > F.col("total"), F.col("mask")).otherwise(F.lit(0))
+            ).alias("simhash_sql")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_flags": q_exact_dedup_flags,
@@ -266,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "minhash_lsh_sql": q_minhash_lsh_sql,
         "simhash": q_simhash,
+        "simhash_sql": q_simhash_sql,
         "dedup_clusters": q_dedup_clusters,
     }
 
@@ -488,6 +520,21 @@ def oracle_sql() -> dict[str, str]:
         FROM bands l JOIN bands r USING (band_id, band_hash)
         WHERE l.doc_id < r.doc_id
         ORDER BY a, b
+    """
+
+    sql["simhash_sql"] = f"""
+        WITH {_GRAMS},
+        bits AS (SELECT b AS bit, (1::BIGINT << b) AS mask FROM generate_series(0, 59) t(b)),
+        per_bit AS (
+          SELECT doc_id, bit, mask,
+                 sum(CASE WHEN (ngram_hash & mask) != 0 THEN 1 ELSE 0 END) AS ones,
+                 count(*) AS total
+          FROM grams CROSS JOIN bits
+          GROUP BY doc_id, bit, mask
+        )
+        SELECT doc_id,
+               sum(CASE WHEN 2 * ones > total THEN mask ELSE 0 END)::BIGINT AS simhash_sql
+        FROM per_bit GROUP BY doc_id ORDER BY doc_id
     """
 
     sql["chunk_coverage"] = """
