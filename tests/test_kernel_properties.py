@@ -1,0 +1,88 @@
+"""Property-based kernel tests (hypothesis): the invariants of SURVEY.md
+§1.1 must hold for arbitrary inputs and configs, and the batched kernel
+must agree with the sequential one everywhere."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastcdc_rs_spark.kernel import ChunkerConfig, chunk_bytes
+from fastcdc_rs_spark.kernel.batch import chunk_batch
+
+
+def _buf(seed: int, n: int, alphabet: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, alphabet, n, dtype=np.uint8)
+
+
+configs = st.sampled_from(
+    [
+        ChunkerConfig(64, 256, 1024),
+        ChunkerConfig(64, 256, 1024, level=0),
+        ChunkerConfig(64, 256, 1024, level=3),
+        ChunkerConfig(128, 512, 4096, seed=666),
+        ChunkerConfig(256, 1024, 2048),
+    ]
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(0, 20_000),
+    alphabet=st.sampled_from([2, 17, 256]),
+    cfg=configs,
+)
+def test_coverage_determinism_bounds(seed, n, alphabet, cfg):
+    data = _buf(seed, n, alphabet)
+    chunks = chunk_bytes(data, cfg)
+    # total coverage, no overlap, non-empty
+    nxt = 0
+    for h, off, ln in chunks:
+        assert off == nxt and ln > 0
+        nxt += ln
+    assert nxt == n
+    # bounded sizes: every non-final chunk in [min, max]; final <= max
+    for h, off, ln in chunks[:-1]:
+        assert cfg.min_size <= ln <= cfg.max_size
+    if chunks:
+        assert chunks[-1][2] <= cfg.max_size
+        # sub-min tail carries hash 0
+        if chunks[-1][2] <= cfg.min_size and len(chunks) > 1:
+            assert chunks[-1][0] == 0
+    # determinism
+    assert chunk_bytes(data, cfg) == chunks
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    sizes=st.lists(st.integers(0, 8_000), min_size=1, max_size=12),
+    cfg=configs,
+)
+def test_batch_equals_sequential(seed, sizes, cfg):
+    rng = np.random.default_rng(seed)
+    docs = [rng.integers(0, 256, n, dtype=np.uint8) for n in sizes]
+    batched = chunk_batch(docs, cfg)
+    for d, got in zip(docs, batched):
+        assert got == chunk_bytes(d, cfg)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31), n=st.integers(1000, 30_000))
+def test_edit_locality(seed, n):
+    """CDC resynchronization: flipping one byte changes only a bounded
+    window of chunks — the chunk sets before/after share most elements
+    (on high-entropy data where cuts are mask-driven, not max-clamped)."""
+    cfg = ChunkerConfig(64, 256, 1024)
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, n, dtype=np.uint8)
+    edited = data.copy()
+    pos = int(rng.integers(0, n))
+    edited[pos] ^= np.uint8(0xFF)
+    a = {(h, ln) for h, _, ln in chunk_bytes(data, cfg)}
+    b = {(h, ln) for h, _, ln in chunk_bytes(edited, cfg)}
+    if len(a) >= 8:
+        assert len(a & b) >= len(a) - 5
