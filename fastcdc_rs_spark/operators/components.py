@@ -50,11 +50,13 @@ def connected_components(
     # itself (measured: 60s -> 4.6s at 2k docs). Disable it for the loop
     # and restore after — the surrounding big scans/joins keep AQE.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _cc_loop(edges, vertices, max_iter, id_col)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
 
 
 def _cc_loop(
@@ -67,6 +69,21 @@ def _cc_loop(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).persist()
 
+    # Size the loop's shuffles from the edge set, not the session default:
+    # with AQE off inside the loop, every round would otherwise run the
+    # full session partition count over (usually tiny) label tables. The
+    # materialized cache partitioning reflects what AQE already decided
+    # for the upstream verified-pairs computation, which tracks |E| at any
+    # scale (~2 rounds' worth of rows per partition).
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    # ~50k edges per loop partition, bounded by the session setting: tiny
+    # edge sets iterate on a handful of partitions (per-round task overhead
+    # dominates there), huge ones keep the session's full parallelism.
+    loop_parts = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                            n_edges // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+
     # the iterative loop touches only edge endpoints
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -74,6 +91,8 @@ def _cc_loop(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    if _DEBUG:
+        print(f"cc: {n_edges} sym edges, loop partitions {loop_parts}", flush=True)
 
     for it in range(max_iter):
         _t0 = time.perf_counter()

@@ -29,21 +29,25 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
     1-row metrics DataFrame with bucket statistics (nothing is dropped
     silently — capped buckets degrade to star pairs, counted here).
     """
-    # Bucket statistics via one window over the band-key shuffle (a single
-    # exchange — the groupBy+join formulation costs two). Giant buckets are
-    # never materialized as row-level lists: only small buckets (<= cap
-    # members) use collect_list, so no single row can exceed cap * 8 bytes
-    # regardless of data skew.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_id", "band_hash")
-    annotated = bands_df.select(
-        "band_id",
-        "band_hash",
-        F.col(id_col),
-        F.count(F.lit(1)).over(w).alias("bucket_size"),
-        F.min(id_col).over(w).alias("bucket_min"),
-    ).where(F.col("bucket_size") > 1)
+    # Bucket statistics: one groupBy over the band keys (map-side partial
+    # aggregation), keep only collision buckets (>1 member — a tiny
+    # fraction of the mostly-singleton band space), then join the band
+    # rows against that small table — AQE turns it into a broadcast join
+    # at runtime when it fits, so the singleton majority is shuffled
+    # exactly once (the aggregate) and never again. A window formulation
+    # would per-key-sort millions of singleton buckets instead. Giant
+    # buckets are never materialized as row-level lists: only small
+    # buckets (<= cap members) use collect_list, so no single row can
+    # exceed cap * 8 bytes regardless of data skew.
+    sizes = (
+        bands_df.groupBy("band_id", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.min(id_col).alias("bucket_min"),
+        )
+        .where(F.col("bucket_size") > 1)
+    )
+    annotated = bands_df.join(sizes, ["band_id", "band_hash"]).persist()
 
     small_pairs = (
         annotated.where(F.col("bucket_size") <= bucket_cap)
@@ -75,9 +79,6 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
 
     pairs = small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b"])
 
-    sizes = annotated.groupBy("band_id", "band_hash").agg(
-        F.max("bucket_size").alias("bucket_size")
-    )
     metrics = sizes.agg(
         F.count(F.lit(1)).alias("buckets"),
         F.max("bucket_size").alias("max_bucket"),
