@@ -29,6 +29,14 @@ def test_checkpoint_resume(spark, tmp_path):
     assert calls["n"] == 1
     assert run1.events[-1]["action"] == "computed"
 
+    # per-partition lineage recorded in the manifest
+    import json
+
+    manifest = json.loads((tmp_path / "ckpt" / "chunks" / "_MANIFEST.json").read_text())
+    assert manifest["complete"] and manifest["rows"] == n1
+    assert sum(manifest["partitions"].values()) == n1
+    assert all(f.endswith(".parquet") for f in manifest["partitions"])
+
     # resume: same fingerprint → stage reused, build not called
     run2 = CheckpointedRun(spark, tmp_path / "ckpt", "cfg-v1")
     out2 = run2.stage("chunks", build)
