@@ -30,6 +30,7 @@ from fastcdc_rs_spark.operators.dedup import (
     dedup_flags,
     exact_duplicates,
     ngram_jaccard_pairs,
+    substring_pairs,
     token_ngrams,
 )
 from fastcdc_rs_spark.operators.knn import (
@@ -114,6 +115,36 @@ def q_ngram_cc(spark, sf):
     docs = _docs(spark, sf)
     edges = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).select("a", "b")
     return connected_components(edges, vertices=docs.select("doc_id")).orderBy("doc_id")
+
+
+def q_substring_pairs(spark, sf):
+    # B10 (exact substring dedup), scalable inverted-index form: pairs of
+    # docs sharing an exact common substring of >= 40 chars via positional
+    # char-40-gram buckets — exact by the gram<->substring equivalence.
+    return substring_pairs(_docs(spark, sf), min_len=40).orderBy("a", "b")
+
+
+def q_suffix_substring_pairs(spark, sf):
+    # B10, suffix-array form (kernel-backed): the same pair set computed by
+    # per-group suffix arrays + Kasai LCP + interval enumeration inside
+    # applyInPandas. Groups = connected components of the gram-bucket pair
+    # graph (so no cross-group pair can share a >=40-char substring);
+    # singleton-component docs are skipped (they cannot pair). Tests and
+    # the shared oracle assert equality with q_substring_pairs.
+    from fastcdc_rs_spark.operators.suffix import substring_pairs_exact
+
+    docs = _docs(spark, sf)
+    edges = substring_pairs(docs, min_len=40).select("a", "b")
+    comp = connected_components(edges)  # edge endpoints only
+    grouped = docs.join(
+        comp.select(F.col("doc_id"), F.col("cluster_id").alias("group_id")),
+        "doc_id",
+    )
+    return (
+        substring_pairs_exact(grouped, min_len=40)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .orderBy("a", "b")
+    )
 
 
 def q_embedding_topk(spark, sf):
@@ -289,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_ngrams": q_token_ngrams,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_cc": q_ngram_cc,
+        "substring_pairs": q_substring_pairs,
+        "suffix_substring_pairs": q_suffix_substring_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "extracted_text": q_extracted_text,
@@ -443,6 +476,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
         """
     )
+
+    # exact substring-duplicate pairs: docs share a >=40-char substring iff
+    # they share a positional char-40-gram. Same SQL twin for both the
+    # inverted-index query and the suffix-array query (they compute the
+    # same set by construction; see q_suffix_substring_pairs).
+    substr_pairs_sql = f"""
+        WITH cg AS (
+          SELECT DISTINCT doc_id, {_H.format(x='g')} AS gram_hash
+          FROM (
+            SELECT doc_id, substr(text, i, 40) AS g
+            FROM (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+                 LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+          )
+        )
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM cg l JOIN cg r USING (gram_hash)
+        WHERE l.doc_id < r.doc_id
+        ORDER BY a, b
+    """
+    sql["substring_pairs"] = substr_pairs_sql
+    sql["suffix_substring_pairs"] = substr_pairs_sql
 
     cos = """
       round(

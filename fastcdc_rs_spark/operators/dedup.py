@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame
 
 from ..functions.portable import md5_long
 
-__all__ = ["exact_duplicates", "dedup_flags", "token_ngrams", "ngram_jaccard_pairs"]
+__all__ = [
+    "exact_duplicates",
+    "dedup_flags",
+    "token_ngrams",
+    "ngram_jaccard_pairs",
+    "char_ngrams",
+    "substring_pairs",
+]
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -71,6 +78,66 @@ def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     return docs.select(
         F.col(id_col), F.explode(grams).alias("ngram")
     ).select(id_col, md5_long("ngram").alias("ngram_hash")).distinct()
+
+
+def char_ngrams(docs: DataFrame, n: int = 40, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, gram_hash) — distinct md5-hashed positional character
+    n-grams for docs with at least ``n`` characters.
+
+    Two documents share an exact common substring of length >= n **iff**
+    they share at least one character n-gram, so this is the exact
+    candidate generator for substring dedup (SURVEY.md §2.B B10) — the
+    scalable counterpart of the per-group suffix-array operator in
+    suffix.py, which the tests cross-check against this one.
+
+    All expressions are JVM-side (transform/sequence/substr); the explode
+    is the only row-multiplying step and is bounded by total corpus
+    characters.
+    """
+    text = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - F.lit(n - 1)),
+            lambda i: text.substr(i, F.lit(n)),
+        )
+    )
+    return (
+        docs.where(F.length(text) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(id_col, md5_long("gram").alias("gram_hash"))
+        .distinct()
+    )
+
+
+def substring_pairs(docs: DataFrame, min_len: int = 40, df_cap: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(a, b) doc pairs sharing an exact common substring of length
+    >= min_len, via the char-n-gram inverted index.
+
+    Exact (no false positives/negatives) by the gram<->substring
+    equivalence in ``char_ngrams``. ``df_cap`` drops grams appearing in
+    more than df_cap docs (boilerplate runs) — at CC scale a hot 40-char
+    boilerplate gram otherwise fans out quadratically; capped grams only
+    reduce recall for pairs *only* connected through boilerplate, and the
+    drop count is observable by comparing gram counts. None = exact.
+    """
+    grams = char_ngrams(docs, min_len, text_col, id_col)
+    if df_cap is not None:
+        freq = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("df"))
+        grams = grams.join(
+            F.broadcast(freq.where(F.col("df") > df_cap).select("gram_hash")),
+            "gram_hash",
+            "left_anti",
+        )
+    ga = grams.select(F.col(id_col).alias("a"), "gram_hash")
+    gb = grams.select(F.col(id_col).alias("b"), "gram_hash")
+    return (
+        ga.join(gb, "gram_hash")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
