@@ -36,6 +36,7 @@ from fastcdc_rs_spark.operators.dedup import (
 from fastcdc_rs_spark.operators.knn import (
     cosine_near_duplicates,
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
 )
 from fastcdc_rs_spark.operators.simhash import simhash64
 from fastcdc_rs_spark.operators.textstats import (
@@ -154,6 +155,20 @@ def q_embedding_topk(spark, sf):
     )
     return cosine_topk_bruteforce(
         emb, queries, k=10, round_scale=4
+    ).orderBy("query_id", "rank")
+
+
+def q_embedding_topk_ivf(spark, sf):
+    # ANN scale path (kernel-backed config: deterministic spherical-k-means
+    # centroids; rows-only check — recall >= 0.9 vs exact brute force is
+    # asserted in tests/test_operators_misc.py on clustered vectors, plus
+    # structural invariants on this driver table)
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        emb, queries, k=10, n_lists=16, nprobe=4, round_scale=4
     ).orderBy("query_id", "rank")
 
 
@@ -323,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "suffix_substring_pairs": q_suffix_substring_pairs,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "extracted_text": q_extracted_text,
         "chunk_coverage": q_chunk_coverage,

@@ -26,6 +26,9 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_near_duplicates",
     "rhp_buckets",
+    "kmeans_centroids",
+    "ivf_assign",
+    "cosine_topk_ivf",
 ]
 
 
@@ -96,6 +99,126 @@ def rhp_buckets(vectors: DataFrame, dim: int, n_planes: int = 8, seed: int = 7,
         proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return vectors.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def kmeans_centroids(
+    vectors: DataFrame, k: int = 16, seed: int = 7, n_iter: int = 10,
+    sample: int = 4096, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids fit on a bounded deterministic sample.
+
+    The fit is driver-side numpy over at most ``sample`` vectors — at 100 TB
+    you fit on a ~100k-row sample (centroid quality saturates long before
+    that) and broadcast the k x dim array; the full corpus never leaves the
+    executors. Sampling is order-stable (lowest ids) so the index is
+    reproducible. Returns unit-norm centroids, shape (k, dim).
+    """
+    rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms > 0, norms, 1.0)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    if len(cent) < k:  # degenerate tiny input: pad with random unit vectors
+        extra = rng.standard_normal((k - len(cent), x.shape[1]))
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        cent = np.vstack([cent, extra])
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def _centroid_dots(vec_col: str, centroids: np.ndarray) -> Column:
+    """array<double> of dot(vec, centroid_j) for all centroids, JVM-side."""
+    return F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding, list_id): nearest-centroid inverted-list id.
+
+    Pure JVM expression (whole-stage codegen): k x dim literal dot products
+    per row, argmax via array_position. At scale the output is written
+    bucketed by list_id so probes read only their lists.
+    """
+    dots = _centroid_dots(vec_col, centroids)
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (
+            F.array_position(dots, F.array_max(dots)).cast("int") - F.lit(1)
+        ).alias("list_id"),
+    )
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame, queries: DataFrame, k: int = 10,
+    centroids: np.ndarray | None = None, n_lists: int = 16, nprobe: int = 4,
+    seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", round_scale: int = 6,
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank): approximate top-k via IVF probing.
+
+    The scale path for similarity search: vectors are partitioned into
+    ``n_lists`` inverted lists (nearest spherical-k-means centroid); each
+    query scores only its ``nprobe`` nearest lists, so the scored fraction
+    is ~nprobe/n_lists of the corpus instead of all of it. The join key is
+    list_id — a plain equi-join Catalyst hash-partitions; the query side
+    stays broadcastable. Same output schema as ``cosine_topk_bruteforce``
+    (the exact baseline tests measure recall against it).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors, k=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    lists = ivf_assign(vectors, centroids, id_col, vec_col)
+
+    qdots = _centroid_dots(vec_col, centroids)
+    probes = (
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            F.posexplode(qdots).alias("list_id", "_cdot"),
+        )
+        .withColumn(
+            "_prank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("_cdot"), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("_prank") <= nprobe)
+        .select(query_id_col, "_qvec", "list_id")
+    )
+
+    scored = (
+        lists.join(F.broadcast(probes), "list_id")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_expr(F.col("_qvec"), F.col(vec_col)), round_scale
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def cosine_near_duplicates(

@@ -124,3 +124,78 @@ def test_plan_quality_broadcast_topk(spark):
     )
     plan = cosine_topk_bruteforce(vecs, q, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    # IVF's recall story applies to data with neighbor structure (near-dup
+    # embeddings — the pipeline's use case). Plant 12 clusters of unit
+    # vectors with small perturbations; nprobe=4/16 must recover >=0.9 of
+    # the exact top-10.
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from fastcdc_rs_spark.operators.knn import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((12, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers[rng.integers(0, 12, 600)] + 0.15 * rng.standard_normal((600, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    queries = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_ivf(emb, queries, k=10, n_lists=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
+
+
+def test_ivf_assignment_and_self_retrieval_on_driver_embeddings(spark):
+    # the driver embeddings are isotropic noise (no neighbor structure —
+    # max non-self cosine ~0.5), the worst case for any ANN index; assert
+    # the structural invariants there: total single-assignment, id range,
+    # determinism, and rank-1 self-retrieval (a query's own vector is by
+    # construction in its nearest list).
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from fastcdc_rs_spark.operators.knn import (
+        cosine_topk_ivf,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=16, seed=7)
+    lists = ivf_assign(emb, cents)
+    n = emb.count()
+    assert lists.count() == n
+    stats = lists.agg(
+        F.min("list_id").alias("lo"), F.max("list_id").alias("hi")
+    ).first()
+    assert stats.lo >= 0 and stats.hi < 16
+
+    cents2 = kmeans_centroids(emb, k=16, seed=7)
+    assert np.allclose(cents, cents2)
+
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = (
+        cosine_topk_ivf(emb, queries, k=1, n_lists=16, nprobe=4)
+        .where(F.col("rank") == 1)
+        .collect()
+    )
+    assert len(top1) == 20
+    assert all(r.query_id == r.vec_id for r in top1), "self-match must rank 1"
