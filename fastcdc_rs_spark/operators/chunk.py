@@ -32,9 +32,15 @@ from pyspark.sql.types import (
 )
 
 from ..kernel import ChunkerConfig
-from ..kernel.batch import chunk_batch
+from ..kernel.batch import chunk_batch, chunk_batch_columnar
 
-__all__ = ["CHUNK_SCHEMA", "chunk_documents", "chunks_udf", "unsigned_hash_expr"]
+__all__ = [
+    "CHUNK_SCHEMA",
+    "chunk_documents",
+    "chunks_udf",
+    "chunk_hashes_udf",
+    "unsigned_hash_expr",
+]
 
 CHUNK_SCHEMA = ArrayType(
     StructType(
@@ -92,6 +98,39 @@ def chunks_udf(cfg: ChunkerConfig):
         )
 
     return _chunk
+
+
+def _to_bufs(data: pd.Series) -> list[np.ndarray]:
+    bufs = []
+    for v in data:
+        if v is None:
+            bufs.append(np.array([], dtype=np.uint8))
+        elif isinstance(v, (bytes, bytearray)):
+            bufs.append(np.frombuffer(v, dtype=np.uint8))
+        else:
+            bufs.append(np.frombuffer(str(v).encode("utf-8"), dtype=np.uint8))
+    return bufs
+
+
+def chunk_hashes_udf(cfg: ChunkerConfig):
+    """Pandas UDF: text/binary column → array<long> of chunk gear hashes.
+
+    The pipeline hot path (unit_hashes → shingles → MinHash) needs only the
+    hash sequence, so this skips the per-chunk struct materialization of
+    ``chunks_udf`` entirely: the columnar kernel result is viewed as signed
+    int64 and split per doc — zero per-chunk Python objects end-to-end.
+    """
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hashes(data: pd.Series) -> pd.Series:
+        bufs = _to_bufs(data)
+        if not bufs:
+            return pd.Series([], dtype=object)
+        counts, hashes, _, _ = chunk_batch_columnar(bufs, cfg)
+        signed = hashes.view(np.int64)
+        return pd.Series(np.split(signed, np.cumsum(counts)[:-1]))
+
+    return _hashes
 
 
 def chunk_documents(

@@ -26,7 +26,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .kernel import ChunkerConfig
-from .operators.chunk import chunk_documents
 from .operators.components import connected_components
 from .operators.lsh import candidate_pairs
 from .operators.minhash import minhash_signatures
@@ -74,12 +73,10 @@ def unit_hashes(docs: DataFrame, cfg: DedupConfig,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, unit_hashes array<long>) under the configured mode."""
     if cfg.shingle_mode == "chunk":
-        chunks_arr = chunk_documents(
-            docs, cfg.chunker(), content_col=text_col, id_cols=(id_col,), exploded=False
-        )
-        return chunks_arr.select(
-            id_col,
-            F.transform("chunks", lambda c: c["hash"]).alias("unit_hashes"),
+        from .operators.chunk import chunk_hashes_udf
+
+        return docs.select(
+            id_col, chunk_hashes_udf(cfg.chunker())(F.col(text_col)).alias("unit_hashes")
         )
     if cfg.shingle_mode == "token":
         arr = F.split(F.trim(F.col(text_col)), r"\s+")

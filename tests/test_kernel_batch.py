@@ -49,3 +49,49 @@ def test_batch_parity_small_params():
             assert off == nxt and ln > 0
             nxt += ln
         assert nxt == len(d)
+
+
+def test_columnar_matches_row_api():
+    import numpy as np
+
+    from fastcdc_rs_spark.kernel import ChunkerConfig
+    from fastcdc_rs_spark.kernel.batch import chunk_batch, chunk_batch_columnar
+
+    rng = np.random.default_rng(3)
+    bufs = [
+        np.frombuffer(rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes(), dtype=np.uint8)
+        for n in list(rng.integers(0, 5000, 30)) + [0, 1, 64, 65, 1024, 4096]
+    ]
+    cfg = ChunkerConfig(64, 256, 1024)
+    rows = chunk_batch(bufs, cfg)
+    counts, hashes, offs, lns = chunk_batch_columnar(bufs, cfg)
+    assert list(counts) == [len(r) for r in rows]
+    flat = [t for r in rows for t in r]
+    assert [int(h) for h in hashes] == [t[0] for t in flat]
+    assert [int(o) for o in offs] == [t[1] for t in flat]
+    assert [int(l) for l in lns] == [t[2] for t in flat]
+    assert chunk_batch([], cfg) == []
+
+
+def test_chunk_hashes_udf_parity(spark):
+    import pyspark.sql.functions as F
+
+    from fastcdc_rs_spark.kernel import ChunkerConfig
+    from fastcdc_rs_spark.operators.chunk import chunk_documents, chunk_hashes_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = ChunkerConfig(64, 256, 1024)
+    via_structs = (
+        chunk_documents(docs, cfg, content_col="text", exploded=False)
+        .select("doc_id", F.transform("chunks", lambda c: c["hash"]).alias("h"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    via_fast = (
+        docs.select("doc_id", chunk_hashes_udf(cfg)(F.col("text")).alias("h"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, list(r.h)) for r in via_structs] == [
+        (r.doc_id, list(r.h)) for r in via_fast
+    ]
