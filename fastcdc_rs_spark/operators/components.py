@@ -65,9 +65,21 @@ def _cc_loop(
     max_iter: int,
     id_col: str,
 ) -> DataFrame:
-    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    # Symmetrize with one explode instead of a two-branch union: a union
+    # would evaluate the (unpersisted, often expensive) edge plan twice in
+    # the materialization job below.
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
 
     # Size the loop's shuffles from the edge set, not the session default:
     # with AQE off inside the loop, every round would otherwise run the
