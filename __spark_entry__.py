@@ -292,11 +292,11 @@ def q_minhash_lsh_sql(spark, sf):
     )
 
 
-def q_simhash_sql(spark, sf):
-    # SQL-expressible SimHash twin: bit-majority over md5-hashed token
-    # 3-grams, bit tests via a broadcast (bit, mask) table so both engines
-    # use exact integer bitwise ops (no float pow). The production kernel
-    # (q_simhash) uses splitmix64 over chunk hashes — same structure.
+def _simhash_sql_df(spark, sf):
+    # SQL-expressible SimHash: bit-majority over md5-hashed token 3-grams,
+    # bit tests via a broadcast (bit, mask) table so both engines use exact
+    # integer bitwise ops (no float pow). The production kernel (q_simhash)
+    # uses splitmix64 over chunk hashes — same structure.
     docs = _docs(spark, sf)
     grams = token_ngrams(docs, n=3).withColumnRenamed("ngram_hash", "h")
     bits = spark.createDataFrame(
@@ -312,14 +312,57 @@ def q_simhash_sql(spark, sf):
             F.count(F.lit(1)).alias("total"),
         )
     )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(2 * F.col("ones") > F.col("total"), F.col("mask")).otherwise(F.lit(0))
+        ).alias("simhash_sql")
+    )
+
+
+def q_simhash_sql(spark, sf):
+    return _simhash_sql_df(spark, sf).orderBy("doc_id")
+
+
+def q_simhash_hamming_pairs(spark, sf):
+    # B7 end-to-end, oracle-checked: 4 x 15-bit Hamming bands over the
+    # 60-bit SQL simhash (pigeonhole: distance <= 3 docs agree on >= 1
+    # band), bucket equi-join for candidates, exact bit_count(XOR)
+    # verification <= 3. Same shape as the production kernel path
+    # (simhash_bands + hamming_distance_expr), twinned in DuckDB.
+    sigs = _simhash_sql_df(spark, sf)
+    mask15 = (1 << 15) - 1
+    bands = sigs.select(
+        "doc_id",
+        "simhash_sql",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash_sql"), b * 15).bitwiseAND(
+                        F.lit(mask15)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("simhash_sql").alias("sim_a"),
+        "band_id", "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("simhash_sql").alias("sim_b"),
+        "band_id", "band_val",
+    )
     return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(2 * F.col("ones") > F.col("total"), F.col("mask")).otherwise(F.lit(0))
-            ).alias("simhash_sql")
+        left.join(right, ["band_id", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
         )
-        .orderBy("doc_id")
+        .distinct()
+        .where(F.col("hamming") <= 3)
+        .orderBy("a", "b")
     )
 
 
@@ -347,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_sql": q_minhash_lsh_sql,
         "simhash": q_simhash,
         "simhash_sql": q_simhash_sql,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "dedup_clusters": q_dedup_clusters,
     }
 
@@ -605,6 +649,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                sum(CASE WHEN 2 * ones > total THEN mask ELSE 0 END)::BIGINT AS simhash_sql
         FROM per_bit GROUP BY doc_id ORDER BY doc_id
+    """
+
+    sql["simhash_hamming_pairs"] = f"""
+        WITH {_GRAMS},
+        bits AS (SELECT b AS bit, (1::BIGINT << b) AS mask FROM generate_series(0, 59) t(b)),
+        per_bit AS (
+          SELECT doc_id, bit, mask,
+                 sum(CASE WHEN (ngram_hash & mask) != 0 THEN 1 ELSE 0 END) AS ones,
+                 count(*) AS total
+          FROM grams CROSS JOIN bits
+          GROUP BY doc_id, bit, mask
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 sum(CASE WHEN 2 * ones > total THEN mask ELSE 0 END)::BIGINT AS sim
+          FROM per_bit GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, sim, b.band_id,
+                 (sim >> (b.band_id * 15)) & 32767 AS band_val
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+        )
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               bit_count(xor(l.sim, r.sim))::INT AS hamming
+        FROM bands l JOIN bands r USING (band_id, band_val)
+        WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sim, r.sim)) <= 3
+        ORDER BY a, b
     """
 
     sql["chunk_coverage"] = """
