@@ -40,6 +40,7 @@ from fastcdc_rs_spark.operators.knn import (
 )
 from fastcdc_rs_spark.operators.simhash import simhash64
 from fastcdc_rs_spark.operators.textstats import (
+    bpe_token_stats,
     doc_fingerprint,
     langid_heuristic,
     language_stats,
@@ -86,6 +87,10 @@ def q_exact_dup_groups(spark, sf):
 
 def q_token_stats(spark, sf):
     return token_stats(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_bpe_token_stats(spark, sf):
+    return bpe_token_stats(_docs(spark, sf)).orderBy("doc_id")
 
 
 def q_quality_scores(spark, sf):
@@ -371,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_flags": q_exact_dedup_flags,
         "exact_dup_groups": q_exact_dup_groups,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "language_stats": q_language_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -457,6 +463,17 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
                  (length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))))::DOUBLE
                  / len(string_split_regex(trim(text), '\\s+')) END, 6) AS avg_token_len
+        FROM documents ORDER BY doc_id
+    """
+
+    from fastcdc_rs_spark.operators.textstats import BPE_SPLIT_PATTERN
+
+    bpe_pat = BPE_SPLIT_PATTERN.replace("'", "''")  # SQL-literal escaping
+    sql["bpe_token_stats"] = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{bpe_pat}'))::INT AS n_bpe_tokens,
+               len(regexp_extract_all(text, ' ?[A-Za-z]+'))::INT AS n_word_tokens,
+               len(regexp_extract_all(text, ' ?[0-9]+'))::INT AS n_number_tokens
         FROM documents ORDER BY doc_id
     """
 

@@ -21,11 +21,17 @@ from ..functions.portable import md5_long
 
 __all__ = [
     "token_stats",
+    "bpe_token_stats",
     "quality_scores",
     "language_stats",
     "doc_fingerprint",
     "langid_heuristic",
 ]
+
+# GPT-2-style pre-tokenizer (portable subset: works identically in Java
+# regex and RE2/DuckDB): contractions, optionally-space-prefixed letter
+# runs, digit runs, punctuation runs, residual whitespace.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 _STOPWORDS = ("the", "of", "and", "to", "in", "is", "for", "with", "on", "that")
 
@@ -50,6 +56,26 @@ def token_stats(docs: DataFrame, text_col: str = "text",
             .otherwise(F.lit(0.0)),
             6,
         ).alias("avg_token_len"),
+    )
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_word_tokens, n_number_tokens): token counts
+    under the BPE-ish pre-tokenizer split (the count an LLM training
+    pipeline budgets by), all JVM-side regexp_extract_all."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(r" ?[A-Za-z]+"), F.lit(0))).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(r" ?[0-9]+"), F.lit(0))).alias(
+            "n_number_tokens"
+        ),
     )
 
 
