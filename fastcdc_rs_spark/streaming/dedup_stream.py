@@ -1,0 +1,95 @@
+"""Streaming incremental dedup (SURVEY.md §2.B; streaming analog of
+operators/dedup.py + minhash banding).
+
+Two production patterns for incremental corpus ingestion:
+
+* **Stateful exact dedup** — ``dropDuplicates`` on the portable text hash
+  keeps first-seen documents across micro-batches; the dedup state lives
+  in the streaming checkpoint, so a restarted job (same checkpoint dir)
+  keeps suppressing duplicates of everything already ingested. This is
+  Structured Streaming's native stateful operator — no custom state code.
+* **Incremental band index** — each micro-batch's MinHash band keys are
+  appended to a bands sink; near-dup candidate generation against the
+  historical corpus is then one equi-join of the new keys with the
+  accumulated index (batch or foreachBatch), the same shuffle shape as
+  the batch pipeline's bucket join. New-vs-all dedup never rescans old
+  documents' text — only their 8-byte band keys.
+
+The reference's only stateful-streaming idea (ronomon ``with_eof``'s
+"incomplete chunk" protocol, src/ronomon/mod.rs:102-129) concerns byte
+streams *within* one input and has no analog here: chunk state never
+crosses documents (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..functions.portable import md5_long
+from ..operators.minhash import minhash_signatures
+from ..pipeline import DedupConfig, unit_hashes
+
+__all__ = ["stream_exact_dedup", "stream_band_keys", "start_exact_dedup_stream"]
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming keep-first exact dedup: emits only first-seen texts.
+
+    ``dropDuplicates`` on the text hash is a stateful streaming operator;
+    state size is one row per distinct hash (16 bytes of key + overhead),
+    independent of document sizes.
+    """
+    return stream_df.withColumn(
+        "text_hash", md5_long(text_col)
+    ).dropDuplicates(["text_hash"])
+
+
+def stream_band_keys(
+    stream_df: DataFrame, cfg: DedupConfig | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming (doc_id, band_id, band_hash) rows — the incremental index.
+
+    Chunking + shingles + MinHash + banding are all per-document map work
+    (the same kernel UDF as the batch path), so they stream with no state.
+    """
+    cfg = cfg or DedupConfig()
+    units = unit_hashes(stream_df, cfg, id_col=id_col, text_col=text_col)
+    signed = minhash_signatures(
+        units, k=cfg.shingle_k, n_perms=cfg.n_perms,
+        bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
+    )
+    return signed.select(
+        id_col, F.posexplode("bands").alias("band_id", "band_hash")
+    )
+
+
+def start_exact_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """File-arrival stream: append only first-seen (doc_id, text_hash) to
+    ``sink_dir``; duplicate suppression state persists in the checkpoint
+    across restarts (exactly-once)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = stream_exact_dedup(stream, text_col, id_col).select(
+        id_col, "text_hash"
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -72,3 +72,82 @@ def test_streaming_chunks_match_batch(spark, tmp_path):
     assert sorted(map(tuple, got.select(*key).collect())) == sorted(
         map(tuple, expected.select(*key).collect())
     )
+
+
+def test_streaming_exact_dedup_state_across_restarts(spark, tmp_path):
+    """Wave 2 duplicates of wave-1 texts are suppressed by checkpoint state
+    even though the query restarted between waves."""
+    import pyspark.sql.functions as F
+
+    from fastcdc_rs_spark.streaming.dedup_stream import start_exact_dedup_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text"), (2, "alpha text")],
+        "doc_id long, text string",
+    )
+    wave1.write.mode("append").parquet(src)
+    schema = wave1.schema
+    q = start_exact_dedup_stream(spark, src, sink, ckpt, schema)
+    q.awaitTermination()
+
+    out1 = spark.read.parquet(sink)
+    assert out1.count() == 2  # one of the two alphas survives
+
+    wave2 = spark.createDataFrame(
+        [(3, "alpha text"), (4, "gamma text")], "doc_id long, text string"
+    )
+    wave2.write.mode("append").parquet(src)
+    q = start_exact_dedup_stream(spark, src, sink, ckpt, schema)
+    q.awaitTermination()
+
+    out2 = spark.read.parquet(sink).orderBy("doc_id").collect()
+    ids = [r.doc_id for r in out2]
+    assert 4 in ids, "new unique text must pass"
+    assert 3 not in ids, "cross-restart duplicate must be suppressed by state"
+    assert len(out2) == 3
+
+
+def test_streaming_band_keys_match_batch(spark, tmp_path):
+    """Streaming band keys == batch band keys for the same docs."""
+    from fastcdc_rs_spark.pipeline import DedupConfig, unit_hashes
+    from fastcdc_rs_spark.operators.minhash import minhash_signatures
+    from fastcdc_rs_spark.streaming.dedup_stream import stream_band_keys
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    src = str(tmp_path / "src2")
+    docs.select("doc_id", "text").write.parquet(src)
+    cfg = DedupConfig()
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    sink = str(tmp_path / "bands")
+    q = (
+        stream_band_keys(stream, cfg)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in spark.read.parquet(sink).collect()
+    }
+    signed = minhash_signatures(
+        unit_hashes(docs.select("doc_id", "text"), cfg),
+        k=cfg.shingle_k, n_perms=cfg.n_perms, bands=cfg.bands,
+        rows=cfg.rows, seed=cfg.minhash_seed,
+    )
+    want = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in signed.select(
+            "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+        ).collect()
+    }
+    assert got == want and len(got) == 50 * cfg.bands
