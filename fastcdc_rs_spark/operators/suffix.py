@@ -33,17 +33,20 @@ from pyspark.sql.types import (
 __all__ = [
     "suffix_array",
     "lcp_array",
+    "sa_lcp",
     "duplicate_substrings",
     "substring_pairs_exact",
 ]
 
 
-def suffix_array(data: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (numpy argsort ranks), O(n log n)."""
+def _sa_ranks(data: np.ndarray) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Prefix-doubling suffix array, keeping the rank snapshot at each
+    power-of-two prefix length (for the vectorized LCP lifting below)."""
     n = data.size
     if n == 0:
-        return np.array([], dtype=np.int64)
+        return np.array([], dtype=np.int64), []
     rank = data.astype(np.int64)
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     sa = np.argsort(rank, kind="stable")
     tmp = np.empty(n, dtype=np.int64)
     k = 1
@@ -57,10 +60,46 @@ def suffix_array(data: np.ndarray) -> np.ndarray:
         newgroup = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
         tmp[cur] = np.cumsum(newgroup)
         rank = tmp.copy()
+        levels.append((2 * k, rank))
         if rank[sa[-1]] == n - 1:
             break
         k <<= 1
-    return sa.astype(np.int64)
+    return sa.astype(np.int64), levels
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy argsort ranks), O(n log n)."""
+    return _sa_ranks(data)[0]
+
+
+def sa_lcp(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(suffix array, adjacent-LCP array) with NO per-byte Python.
+
+    LCP of adjacent suffixes by binary lifting over the prefix-doubling
+    rank snapshots: walking levels (2^m, ..., 2, 1), extend each pair's
+    match by plen wherever the level's ranks agree at the current offset
+    (both prefixes fully in range, so rank equality <=> plen-char
+    equality). O(n log n) vector work, log n passes over the pair set —
+    replaces the Kasai byte-at-a-time loop in the applyInPandas kernels.
+    """
+    sa, levels = _sa_ranks(data)
+    n = data.size
+    lcp = np.zeros(n, dtype=np.int64)
+    if n <= 1:
+        return sa, lcp
+    i = sa[:-1]
+    j = sa[1:]
+    cur = np.zeros(n - 1, dtype=np.int64)
+    for plen, rank in reversed(levels):
+        ii = i + cur
+        jj = j + cur
+        ok = (ii + plen <= n) & (jj + plen <= n)
+        idx = np.nonzero(ok)[0]
+        if idx.size:
+            eq = rank[ii[idx]] == rank[jj[idx]]
+            cur[idx[eq]] += plen
+    lcp[1:] = cur
+    return sa, lcp
 
 
 def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -123,20 +162,26 @@ def _group_matches(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
     tail = np.concatenate(tails)
     start_of = np.array(starts, dtype=np.int64)
 
-    sa = suffix_array(data)
-    lcp = lcp_array(data, sa)
+    sa, lcp = sa_lcp(data)
 
+    # vectorized candidate selection: adjacent pairs with doc-end-clipped
+    # LCP >= min_len and distinct non-separator owners (the Python loop
+    # below touches only these few witnesses, not every byte)
+    i_arr, j_arr = sa[:-1], sa[1:]
+    l_arr = np.minimum(lcp[1:], np.minimum(tail[i_arr], tail[j_arr]))
+    oi_arr, oj_arr = owner[i_arr], owner[j_arr]
+    cand = (
+        (l_arr >= min_len)
+        & (oi_arr >= 0)
+        & (oj_arr >= 0)
+        & (oi_arr != oj_arr)
+    )
     rows = []
     best: dict[tuple[int, int], tuple[int, int, int]] = {}
-    for r in range(1, data.size):
-        i, j = int(sa[r - 1]), int(sa[r])
-        # clip the match at each doc's end so it never crosses a separator
-        l = min(int(lcp[r]), int(tail[i]), int(tail[j]))
-        if l < min_len:
-            continue
-        oi, oj = int(owner[i]), int(owner[j])
-        if oi < 0 or oj < 0 or oi == oj:
-            continue
+    for r in np.nonzero(cand)[0]:
+        i, j = int(i_arr[r]), int(j_arr[r])
+        l = int(l_arr[r])
+        oi, oj = int(oi_arr[r]), int(oj_arr[r])
         if oi > oj:
             i, j, oi, oj = j, i, oj, oi
         key = (oi, oj)
@@ -185,11 +230,9 @@ def _group_pairs_exact(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
     owner = np.concatenate(owners)
     tail = np.concatenate(tails)  # bytes remaining in the owning doc
 
-    sa = suffix_array(data)
-    lcp = lcp_array(data, sa)
+    sa, lcp = sa_lcp(data)
     sa_owner = owner[sa]
 
-    pairs: set[tuple[int, int]] = set()
     # Clamp each adjacent LCP to both suffixes' remaining-in-doc byte
     # counts: a shared prefix that crosses a separator is not a text
     # substring. Separator bytes (>=0xF5) never occur in UTF-8 text, so
@@ -200,28 +243,64 @@ def _group_pairs_exact(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
     eff[0] = 0
     # maximal runs r..s where eff[r..s] >= min_len cover suffixes sa[r-1..s]
     ge = eff >= min_len
-    r = 1
-    n = data.size
-    while r < n:
-        if not ge[r]:
-            r += 1
-            continue
-        s = r
-        while s + 1 < n and ge[s + 1]:
-            s += 1
-        members = {int(o) for o in sa_owner[r - 1 : s + 1] if o >= 0}
-        ms = sorted(members)
-        for x in range(len(ms)):
-            for y in range(x + 1, len(ms)):
-                pairs.add((ms[x], ms[y]))
-        r = s + 1
-    rows = [
-        (gid, int(doc_ids[a]), int(doc_ids[b]))
-        if doc_ids[a] < doc_ids[b]
-        else (gid, int(doc_ids[b]), int(doc_ids[a]))
-        for a, b in pairs
-    ]
-    return pd.DataFrame(rows, columns=["group_id", "doc_a", "doc_b"])
+    # vectorized run detection: the Python loop below iterates runs, not
+    # positions (runs = groups of suffixes sharing a >=min_len prefix).
+    # Runs with identical member sets (every shared 40-gram of a template
+    # produces one run with the same docs) are enumerated once; pair
+    # emission is packed-int numpy (triu_indices + unique), no Python
+    # pair loop.
+    run_start = np.nonzero(ge & ~np.concatenate(([False], ge[:-1])))[0]
+    run_end = np.nonzero(ge & ~np.concatenate((ge[1:], [False])))[0]
+    n_local = len(texts)
+    seen_sets: set[bytes] = set()
+    packed_parts: list[np.ndarray] = []
+    n_runs = run_start.size
+    if n_runs:
+        # one global unique over (run, owner) coverage keys — runs are
+        # disjoint position ranges, so total coverage is <= n + n_runs
+        lens2 = run_end - run_start + 2  # run t covers sa[r-1 .. s]
+        offs = np.concatenate(([0], np.cumsum(lens2)[:-1]))
+        total = int(lens2.sum())
+        run_of = np.repeat(np.arange(n_runs, dtype=np.int64), lens2)
+        pos = (run_start - 1).repeat(lens2) + (
+            np.arange(total, dtype=np.int64) - offs.repeat(lens2)
+        )
+        own = sa_owner[pos]
+        mvalid = own >= 0
+        uniq = np.unique(run_of[mvalid] * n_local + own[mvalid])
+        r_of = uniq // n_local
+        o_of = uniq % n_local
+        counts = np.bincount(r_of, minlength=n_runs)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        # identical member sets (every shared gram of one template) are
+        # enumerated once; distinct-but-overlapping cliques still cost
+        # their own triu — the quadratic union is inherent to the exact
+        # pair set, bounded by the caller's group-size caps
+        for t in range(n_runs):
+            lo_i, hi_i = int(bounds[t]), int(bounds[t + 1])
+            if hi_i - lo_i < 2:
+                continue
+            members = o_of[lo_i:hi_i]
+            keyb = members.tobytes()
+            if keyb in seen_sets:
+                continue
+            seen_sets.add(keyb)
+            ia, ib = np.triu_indices(members.size, k=1)
+            packed_parts.append(members[ia] * n_local + members[ib])
+    if packed_parts:
+        packed = np.unique(np.concatenate(packed_parts))
+        da = doc_ids[packed // n_local]
+        db = doc_ids[packed % n_local]
+        lo = np.minimum(da, db)
+        hi = np.maximum(da, db)
+        return pd.DataFrame(
+            {"group_id": gid, "doc_a": lo, "doc_b": hi}
+        ).drop_duplicates()
+    return pd.DataFrame(
+        {"group_id": pd.Series([], dtype="int64"),
+         "doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64")}
+    )
 
 
 def substring_pairs_exact(

@@ -155,3 +155,26 @@ def test_substring_pairs_gram_vs_suffix_on_corpus(spark):
     assert len(gram) > 0, "corpus should contain substring duplicates"
     assert sa == gram
     assert gram == _naive_pairs(dict(zip(pdf["doc_id"], pdf["text"])), 40)
+
+
+def test_sa_lcp_matches_kasai():
+    import numpy as np
+
+    from fastcdc_rs_spark.operators.suffix import lcp_array, sa_lcp, suffix_array
+
+    rng = np.random.default_rng(9)
+    cases = [
+        np.frombuffer(b"banana", dtype=np.uint8),
+        np.frombuffer(b"", dtype=np.uint8),
+        np.frombuffer(b"z", dtype=np.uint8),
+        np.frombuffer(b"aaaaaaaaaa", dtype=np.uint8),
+        rng.integers(0, 3, 2000, dtype=np.uint8),
+        rng.integers(0, 256, 2000, dtype=np.uint8),
+        np.tile(rng.integers(0, 256, 97, dtype=np.uint8), 13),
+    ]
+    for data in cases:
+        sa1 = suffix_array(data)
+        lcp1 = lcp_array(data, sa1)
+        sa2, lcp2 = sa_lcp(data)
+        assert list(sa1) == list(sa2)
+        assert list(lcp1) == list(lcp2), f"mismatch n={data.size}"
