@@ -32,7 +32,12 @@ from ..functions.portable import md5_long
 from ..operators.minhash import minhash_signatures
 from ..pipeline import DedupConfig, unit_hashes
 
-__all__ = ["stream_exact_dedup", "stream_band_keys", "start_exact_dedup_stream"]
+__all__ = [
+    "stream_exact_dedup",
+    "stream_exact_dedup_within_watermark",
+    "stream_band_keys",
+    "start_exact_dedup_stream",
+]
 
 
 def stream_exact_dedup(
@@ -47,6 +52,27 @@ def stream_exact_dedup(
     return stream_df.withColumn(
         "text_hash", md5_long(text_col)
     ).dropDuplicates(["text_hash"])
+
+
+def stream_exact_dedup_within_watermark(
+    stream_df: DataFrame, ts_col: str = "warc_ts", horizon: str = "1 hour",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup with BOUNDED state: duplicates are suppressed only
+    within the event-time watermark ``horizon`` of the first occurrence.
+
+    ``dropDuplicatesWithinWatermark`` evicts dedup state once the
+    watermark passes — the per-executor state stays O(distinct hashes per
+    horizon) instead of growing for the job's lifetime, which is the
+    right trade for continuous CC-crawl ingestion where re-crawls of the
+    same page arrive clustered in time (the unbounded variant catches the
+    long tail in a periodic batch dedup over the sink).
+    """
+    return (
+        stream_df.withColumn("text_hash", md5_long(text_col))
+        .withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
 
 
 def stream_band_keys(

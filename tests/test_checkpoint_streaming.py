@@ -151,3 +151,45 @@ def test_streaming_band_keys_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 50 * cfg.bands
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Within-horizon duplicates are suppressed; the operator runs as a
+    real streaming query with watermark-evicted state."""
+    import datetime as dt
+
+    from fastcdc_rs_spark.streaming.dedup_stream import (
+        stream_exact_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "wsrc")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, "alpha"),
+        (1, t0 + dt.timedelta(minutes=5), "alpha"),   # dup within horizon
+        (2, t0 + dt.timedelta(minutes=10), "beta"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, warc_ts timestamp, text string"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string"
+    ).parquet(src)
+    sink = str(tmp_path / "wsink")
+    q = (
+        stream_exact_dedup_within_watermark(stream, horizon="1 hour")
+        .select("doc_id", "text_hash")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    # one survivor per text within the horizon (which of the two "alpha"
+    # docs survives is not defined within a micro-batch), plus "beta"
+    assert len(out) == 2 and 2 in out and (0 in out) != (1 in out), (
+        f"exactly one alpha + beta expected: {out}"
+    )
