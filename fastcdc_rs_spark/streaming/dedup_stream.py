@@ -67,6 +67,11 @@ def stream_exact_dedup_within_watermark(
     right trade for continuous CC-crawl ingestion where re-crawls of the
     same page arrive clustered in time (the unbounded variant catches the
     long tail in a periodic batch dedup over the sink).
+
+    The horizon is an "at least": the watermark advances at micro-batch
+    end, so eviction lags one batch behind it (verified empirically —
+    a dup past the horizon in the very next batch is still suppressed;
+    after any batch advances the watermark, later dups re-emit).
     """
     return (
         stream_df.withColumn("text_hash", md5_long(text_col))
