@@ -199,3 +199,37 @@ def test_ivf_assignment_and_self_retrieval_on_driver_embeddings(spark):
     )
     assert len(top1) == 20
     assert all(r.query_id == r.vec_id for r in top1), "self-match must rank 1"
+
+
+def test_plan_quality_substring_pairs_pruning(spark, tmp_path):
+    # the substring-pair query must scan only (doc_id, text) from parquet
+    from fastcdc_rs_spark.operators.dedup import substring_pairs
+
+    pdf = corpus_pandas(n_docs=50, seed=3).reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    path = str(tmp_path / "docs_sp")
+    spark.createDataFrame(pdf[["doc_id", "text", "lang"]]).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = (
+        substring_pairs(docs, min_len=40)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "lang" not in plan.split("ReadSchema")[1][:120], plan
+
+
+def test_plan_quality_ivf_broadcast_probes(spark):
+    # the IVF probe side must broadcast (queries are tiny by construction)
+    from fastcdc_rs_spark.operators.knn import cosine_topk_ivf
+
+    rng = np.random.default_rng(4)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        cosine_topk_ivf(vecs, q, k=5, n_lists=4, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
