@@ -122,10 +122,13 @@ def main() -> None:
         "minhash_bands",
         "simhash",
         "token_stats",
+        "bpe_token_stats",
         "quality_scores",
         "doc_fingerprint",
         "exact_dedup_flags",
         "ngram_jaccard",
+        "substring_pairs",
+        "embedding_topk_ivf",
         "dedup_clusters",
     ]
     timings: dict[str, float] = {}
