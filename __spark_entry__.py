@@ -123,6 +123,22 @@ def q_ngram_cc(spark, sf):
     return connected_components(edges, vertices=docs.select("doc_id")).orderBy("doc_id")
 
 
+def q_event_sessions(spark, sf):
+    # gap-based sessionization of the events log (window lag + cumsum,
+    # shuffle key = user_id); epoch-second bounds for cross-engine compare
+    from fastcdc_rs_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev, gap_minutes=30).orderBy("user_id", "session_id")
+
+
+def q_event_type_stats(spark, sf):
+    from fastcdc_rs_spark.operators.events import event_type_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return event_type_stats(ev).orderBy("event_type")
+
+
 def q_substring_pairs(spark, sf):
     # B10 (exact substring dedup), scalable inverted-index form: pairs of
     # docs sharing an exact common substring of >= 40 chars via positional
@@ -386,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_cc": q_ngram_cc,
         "substring_pairs": q_substring_pairs,
         "suffix_substring_pairs": q_suffix_substring_pairs,
+        "event_sessions": q_event_sessions,
+        "event_type_stats": q_event_type_stats,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -553,6 +571,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
         """
     )
+
+    sql["event_sessions"] = """
+        WITH marked AS (
+          SELECT user_id,
+                 floor(epoch(ts))::BIGINT AS ts_sec,
+                 CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w >= 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts_sec,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id,
+               min(ts_sec) AS session_start,
+               max(ts_sec) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """
+
+    sql["event_type_stats"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(avg(value), 6) AS avg_value,
+               round(avg(json_extract(props, '$.k')::DOUBLE), 6) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
 
     # exact substring-duplicate pairs: docs share a >=40-char substring iff
     # they share a positional char-40-gram. Same SQL twin for both the
