@@ -155,7 +155,7 @@ not chunking; cut points and hashes are bit-identical to the reference
   (chunk boundaries + hashes, incl. seeds, NC0/NC3, zeros, with_eof);
 - Spark pipeline == single-node oracle bit-for-bit (dup-pair recall 1.0,
   cluster assignments equal) at the same shingle/signature/band config;
-- 20 of 25 driver queries verified against DuckDB oracle SQL
+- 22 of 27 driver queries verified against DuckDB oracle SQL
   (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
   are rows-only by design).
 """
