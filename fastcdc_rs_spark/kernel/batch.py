@@ -81,6 +81,7 @@ def _process_group(
     mask_lut: np.ndarray,
     gear: np.ndarray,
     gear_ls: np.ndarray,
+    seg_width: int = _SEG,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Scan a stacked window group; returns (cut_idx, hash) per row.
 
@@ -107,7 +108,7 @@ def _process_group(
     big = np.int64(1 << 62)
     seg = 0
     while alive.size and seg < width:
-        hi = min(seg + _SEG, width)
+        hi = min(seg + seg_width, width)
         k = (hi - seg) // 2  # pair count (seg and segment widths are even)
         se = s[alive, seg:hi:2]
         so = s[alive, seg + 1:hi:2]
@@ -204,6 +205,12 @@ def chunk_batch_columnar(
         [cfg.mask_l, cfg.mask_l_ls, cfg.mask_s, cfg.mask_s_ls], dtype=np.uint64
     )
 
+    # Segment width tracks the expected cut position (~avg_size past the
+    # min-skip): with small configs a full max_size window in one segment
+    # would scan ~4x past the typical cut; 2*avg keeps the early-exit
+    # effective at every scale (capped at _SEG for the u64 working set).
+    seg_width = int(min(_SEG, max(256, 2 * avg_size)) // 2 * 2)
+
     n_docs = len(bufs)
     lengths = np.array([b.shape[0] for b in bufs], dtype=np.int64)
     processed = np.zeros(n_docs, dtype=np.int64)
@@ -267,7 +274,7 @@ def chunk_batch_columnar(
                 off = int(processed[i]) + start
                 s[r, : lens[r]] = bufs[i][off : off + int(lens[r])]
 
-            cuts, hashes = _process_group(s, lens, n1s, mask_lut, gear, gear_ls)
+            cuts, hashes = _process_group(s, lens, n1s, mask_lut, gear, gear_ls, seg_width)
             cut_rel = np.where(cuts >= 0, start + cuts, rems)
             emit(group, hashes, processed[group], cut_rel)
             processed[group] += cut_rel
