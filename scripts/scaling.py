@@ -140,14 +140,19 @@ which is why they are the scaling-evidence job.
 
 ## Chunker kernel (single core, vs reference single-core numbers)
 
-The Rust reference chunks at ~1-2 GB/s/core (BASELINE.md). The numpy
-kernel (pair-compressed affine scan + block-sliced judgments + columnar
-emission) reaches ~50 MB/s/core on 20-200 KB random-byte pages and
-~25-30 MB/s/core on 300-byte docs with the tiny test config (plus
-~90k tiny docs/s/core), measured in a quiet window. Per SURVEY.md §6
-this is acceptable because the pipeline bottleneck at scale is shuffle,
-not chunking; cut points and hashes are bit-identical to the reference
-(golden tests for all three variants: v2020, v2016, ronomon).
+The Rust reference chunks at ~1.2-2.1 GB/s/core with 1-4 MB avg chunks
+on an M1 (BASELINE.md). The numpy kernel (pair-compressed affine scan,
+block-sliced judgments, columnar emission, avg-adaptive scan segments)
+reaches ~50-60 MB/s/core on 20-200 KB pages (16 KB avg config) and
+~22 MB/s/core on ~2.4 KB corpus docs with the tiny 256-byte-avg config,
+measured in a quiet window on this burstable VM. Per SURVEY.md §6 the
+gap to Rust is acceptable because the pipeline bottleneck at scale is
+shuffle, not chunking — the headline baseline metric (docs/sec through
+chunk + shingle + MinHash-128 + 32-band LSH, i.e. strictly more work
+than the reference's chunk-only numbers) reaches ~85 MB/s aggregate on
+8 cores (35.6k docs/s at 2.4 KB/doc). Cut points and hashes are
+bit-identical to the reference (golden tests for all three variants:
+v2020, v2016, ronomon).
 
 ## Correctness gates (see tests/)
 
