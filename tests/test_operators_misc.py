@@ -233,3 +233,27 @@ def test_plan_quality_ivf_broadcast_probes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap strictly less than the horizon continues a session; a gap of
+    # exactly the horizon starts a new one; single-event users get one
+    # 1-event session
+    import datetime as dt
+
+    from fastcdc_rs_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (0, 1, t0),
+        (1, 1, t0 + dt.timedelta(seconds=1799)),
+        (2, 1, t0 + dt.timedelta(seconds=1799 + 1800)),
+        (3, 2, t0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(ev, gap_minutes=30).orderBy("user_id", "session_id").collect()
+    assert [(r.user_id, r.session_id, r.n_events) for r in out] == [
+        (1, 1, 2),
+        (1, 2, 1),
+        (2, 1, 1),
+    ]
