@@ -194,8 +194,11 @@ def q_embedding_topk_ivf(spark, sf):
 
 
 def q_embedding_near_dups(spark, sf):
+    # threshold 0.45 sits just under the driver embeddings' max non-self
+    # cosine (~0.49, isotropic vectors) so the oracle comparison is
+    # value-bearing rather than trivially empty
     return cosine_near_duplicates(
-        _emb(spark, sf), threshold=0.8, round_scale=4
+        _emb(spark, sf), threshold=0.45, round_scale=4
     ).orderBy("a", "b")
 
 
@@ -671,7 +674,7 @@ def oracle_sql() -> dict[str, str]:
           LATERAL (SELECT sum(z.b::DOUBLE * z.b::DOUBLE) AS n2
                    FROM (SELECT unnest(vvec) AS b) z) vv
         )
-        SELECT a, b, cosine FROM scored WHERE cosine >= 0.8 ORDER BY a, b
+        SELECT a, b, cosine FROM scored WHERE cosine >= 0.45 ORDER BY a, b
     """
 
     sql["extracted_text"] = """
