@@ -2,15 +2,31 @@
 
 from .chunk import chunk_documents, chunks_udf
 from .components import connected_components
-from .dedup import dedup_flags, exact_duplicates, ngram_jaccard_pairs, token_ngrams
+from .dedup import (
+    char_ngrams,
+    dedup_flags,
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    substring_pairs,
+    token_ngrams,
+)
+from .events import event_type_stats, sessionize
 from .extract import extract_text
-from .knn import cosine_near_duplicates, cosine_topk_bruteforce, rhp_buckets
+from .knn import (
+    cosine_near_duplicates,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    ivf_assign,
+    kmeans_centroids,
+    rhp_buckets,
+)
 from .lsh import candidate_pairs
 from .minhash import minhash_signatures
 from .multimodal import frame_sample, image_features, media_metadata
 from .simhash import hamming_distance_expr, simhash64, simhash_bands
-from .suffix import duplicate_substrings
+from .suffix import duplicate_substrings, substring_pairs_exact
 from .textstats import (
+    bpe_token_stats,
     doc_fingerprint,
     langid_heuristic,
     language_stats,
@@ -20,6 +36,15 @@ from .textstats import (
 from .verify import verify_pairs
 
 __all__ = [
+    "substring_pairs_exact",
+    "substring_pairs",
+    "sessionize",
+    "kmeans_centroids",
+    "ivf_assign",
+    "event_type_stats",
+    "cosine_topk_ivf",
+    "char_ngrams",
+    "bpe_token_stats",
     "candidate_pairs",
     "chunk_documents",
     "chunks_udf",
