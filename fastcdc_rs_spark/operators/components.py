@@ -59,6 +59,18 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", parts_before)
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage between CC rounds. ``localCheckpoint`` (executor-local
+    blocks) is right for local mode and short loops; when the session has
+    a reliable checkpoint dir configured (``spark.sparkContext.
+    setCheckpointDir`` — cluster deployments, where executor loss would
+    otherwise kill a multi-hour run), use a reliable checkpoint instead."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def _cc_loop(
     edges: DataFrame,
     vertices: DataFrame | None,
@@ -101,8 +113,8 @@ def _cc_loop(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
+    labels = _truncate(labels)
     if _DEBUG:
         print(f"cc: {n_edges} sym edges, loop partitions {loop_parts}", flush=True)
 
@@ -121,10 +133,9 @@ def _cc_loop(
         lab2 = new_labels.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
-        jumped = (
+        jumped = _truncate(
             new_labels.join(lab2, "label", "left")
             .select("node", F.coalesce("label2", "label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             jumped.join(labels.withColumnRenamed("label", "old"), "node")

@@ -14,10 +14,14 @@ Env / args:
 
 from __future__ import annotations
 
-import hashlib
-import json
+# runnable both via spark-submit --py-files and as a plain script
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import hashlib
+import json
 
 import pyspark.sql.functions as F
 

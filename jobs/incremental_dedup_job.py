@@ -1,0 +1,120 @@
+"""Incremental near-duplicate candidate generation over streaming ingestion.
+
+The continuous-ingestion counterpart of jobs/dedup_job.py: each arriving
+micro-batch of documents is signed with the same MinHash/LSH kernel as the
+batch pipeline, its band keys are joined against the ACCUMULATED band
+index (history never rescanned — only 8-byte keys per doc band), and the
+resulting candidate pairs are appended for downstream verification/CC.
+
+Plan shape per micro-batch (foreachBatch):
+  new bands  ⋈  index on (band_id, band_hash)   -> cross-era candidates
+  new bands self-⋈                              -> within-batch candidates
+  index      <- append new bands
+
+foreachBatch is at-least-once under retries; the pair sink is therefore
+deduplicated on read (`dropDuplicates`), and the index append is
+idempotent per batch id via overwrite-by-batch subdirectories.
+
+Env / args:
+  INCDEDUP_SOURCE   streaming source dir (parquet docs, schema doc_id/text)
+  INCDEDUP_WORK     work dir (band_index/, pairs/, checkpoint/)
+"""
+
+from __future__ import annotations
+
+# runnable both via spark-submit --py-files and as a plain script
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastcdc_rs_spark.pipeline import DedupConfig
+from fastcdc_rs_spark.session import spark_session
+from fastcdc_rs_spark.streaming.dedup_stream import stream_band_keys
+
+__all__ = ["run_incremental_candidates"]
+
+
+def run_incremental_candidates(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    schema: str = "doc_id long, text string",
+    cfg: DedupConfig | None = None,
+) -> None:
+    """Process all currently-available source files (availableNow), then
+    return. Re-invoking resumes from the streaming checkpoint."""
+    cfg = cfg or DedupConfig()
+    index_path = os.path.join(work_dir, "band_index")
+    pairs_path = os.path.join(work_dir, "pairs")
+    ckpt = os.path.join(work_dir, "checkpoint")
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    bands = stream_band_keys(stream, cfg)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            # idempotent index append: one subdir per batch id
+            batch_dir = os.path.join(index_path, f"batch={batch_id}")
+            batch_df.write.mode("overwrite").parquet(batch_dir)
+
+            new = batch_df.select(
+                F.col("doc_id").alias("b"), "band_id", "band_hash"
+            )
+            # cross-era: new docs vs every PRIOR batch's keys
+            prior_dirs = [
+                os.path.join(index_path, d)
+                for d in os.listdir(index_path)
+                if d.startswith("batch=") and d != f"batch={batch_id}"
+            ]
+            pair_frames = []
+            if prior_dirs:
+                idx = batch_df.sparkSession.read.parquet(*prior_dirs).select(
+                    F.col("doc_id").alias("a"), "band_id", "band_hash"
+                )
+                pair_frames.append(
+                    idx.join(new, ["band_id", "band_hash"])
+                    .where(F.col("a") != F.col("b"))
+                    .select(
+                        F.least("a", "b").alias("a"),
+                        F.greatest("a", "b").alias("b"),
+                    )
+                )
+            # within-batch pairs
+            left = batch_df.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+            pair_frames.append(
+                left.join(new, ["band_id", "band_hash"])
+                .where(F.col("a") < F.col("b"))
+                .select("a", "b")
+            )
+            pairs = pair_frames[0]
+            for f in pair_frames[1:]:
+                pairs = pairs.unionByName(f)
+            pairs.distinct().write.mode("append").parquet(pairs_path)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        bands.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def main() -> int:
+    src = os.environ.get("INCDEDUP_SOURCE", "/tmp/incdedup_src")
+    work = os.environ.get("INCDEDUP_WORK", "/tmp/incdedup_work")
+    spark = spark_session(app="fastcdc-incremental-dedup")
+    run_incremental_candidates(spark, src, work)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -193,3 +193,44 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(out) == 2 and 2 in out and (0 in out) != (1 in out), (
         f"exactly one alpha + beta expected: {out}"
     )
+
+
+def test_incremental_dedup_job_cross_era_pairs(spark, tmp_path):
+    """Wave-2 near-dup of a wave-1 doc is found by joining new band keys
+    against the accumulated index; re-running with no new files adds
+    nothing (checkpoint + idempotent index)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from incremental_dedup_job import run_incremental_candidates
+
+    from fastcdc_rs_spark.corpus import corpus_pandas
+
+    src = str(tmp_path / "isrc")
+    work = str(tmp_path / "iwork")
+
+    pdf = corpus_pandas(n_docs=10, seed=21, mean_words=120)
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    texts = list(pdf["text"])
+    w1 = spark.createDataFrame(
+        list(zip(range(10), texts)), "doc_id long, text string"
+    )
+    w1.write.mode("append").parquet(src)
+    run_incremental_candidates(spark, src, work)
+
+    # wave 2: doc 100 is an exact near-dup of doc 3 (same text → same bands)
+    w2 = spark.createDataFrame([(100, texts[3])], "doc_id long, text string")
+    w2.write.mode("append").parquet(src)
+    run_incremental_candidates(spark, src, work)
+
+    pairs = {
+        (r.a, r.b)
+        for r in spark.read.parquet(f"{work}/pairs").dropDuplicates().collect()
+    }
+    assert (3, 100) in pairs, f"cross-era pair missing: {pairs}"
+
+    # no-op rerun: nothing new appended
+    n_before = spark.read.parquet(f"{work}/pairs").count()
+    run_incremental_candidates(spark, src, work)
+    assert spark.read.parquet(f"{work}/pairs").count() == n_before

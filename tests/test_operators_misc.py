@@ -257,3 +257,19 @@ def test_sessionize_gap_boundary(spark):
         (1, 2, 1),
         (2, 1, 1),
     ]
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    # with a reliable checkpoint dir configured, CC uses df.checkpoint()
+    # (cluster-survivable) and produces identical results
+    from fastcdc_rs_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    base = {(r.doc_id, r.cluster_id) for r in connected_components(edges).collect()}
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ccdir"))
+    try:
+        rel = {(r.doc_id, r.cluster_id) for r in connected_components(edges).collect()}
+    finally:
+        # session-scoped fixture: clear so later tests use localCheckpoint
+        spark.sparkContext.setCheckpointDir(None)
+    assert rel == base == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
