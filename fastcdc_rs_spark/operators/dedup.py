@@ -121,21 +121,36 @@ def substring_pairs(docs: DataFrame, min_len: int = 40, df_cap: int | None = Non
     boilerplate gram otherwise fans out quadratically; capped grams only
     reduce recall for pairs *only* connected through boilerplate, and the
     drop count is observable by comparing gram counts. None = exact.
+
+    At CC scale always set df_cap: an uncapped hot bucket materializes
+    its member list as one aggregation row (and its pair expansion is
+    quadratic regardless of implementation).
     """
     grams = char_ngrams(docs, min_len, text_col, id_col)
+    # one groupBy on the gram hash instead of a self-join: the join form
+    # evaluates the gram-generation plan (explode + md5 per positional
+    # gram) once per side, and Catalyst can't reuse the exchange across
+    # differently-aliased sides. Bucket members expand to ordered pairs
+    # JVM-side (ids are distinct per bucket since char_ngrams dedups per
+    # doc); df_cap becomes a plain bucket-size filter.
+    buckets = grams.groupBy("gram_hash").agg(F.collect_list(id_col).alias("ids"))
     if df_cap is not None:
-        freq = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("df"))
-        grams = grams.join(
-            F.broadcast(freq.where(F.col("df") > df_cap).select("gram_hash")),
-            "gram_hash",
-            "left_anti",
+        buckets = buckets.where(F.size("ids") <= df_cap)
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
         )
-    ga = grams.select(F.col(id_col).alias("a"), "gram_hash")
-    gb = grams.select(F.col(id_col).alias("b"), "gram_hash")
+    )
     return (
-        ga.join(gb, "gram_hash")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
