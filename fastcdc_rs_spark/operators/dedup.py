@@ -166,6 +166,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
     """
     grams = token_ngrams(docs, n, text_col, id_col)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # NOTE: deliberately a streaming self-join, NOT the collect_list +
+    # pair-expansion form used by substring_pairs. Token 3-grams are HOT
+    # (stopword grams hit hundreds of docs): materializing each bucket as
+    # an array and expanding pairs array-side measured 2-3x SLOWER than
+    # the join, which streams the same quadratic row count through
+    # Tungsten with partial aggregation. substring_pairs' char-40-gram
+    # buckets are rare/small, where the single-pass form wins instead.
     ga = grams.select(F.col(id_col).alias("a"), "ngram_hash")
     gb = grams.select(F.col(id_col).alias("b"), "ngram_hash")
     inter = (
