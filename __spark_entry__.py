@@ -169,6 +169,52 @@ def q_suffix_substring_pairs(spark, sf):
     )
 
 
+def _tbl(spark, sf, name):
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+def q_pricing_summary(spark, sf):
+    # TPC-H Q1 shape over the lineitem fact table; decimal-exact sums
+    from fastcdc_rs_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_tbl(spark, sf, "lineitem")).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    # TPC-H Q5 shape: fact⨝fact shuffle join + broadcast dimension
+    from fastcdc_rs_spark.operators.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        _tbl(spark, sf, "customer"),
+        _tbl(spark, sf, "orders"),
+        _tbl(spark, sf, "lineitem"),
+        _tbl(spark, sf, "nation"),
+    ).orderBy("n_name")
+
+
+def q_top_customers_per_nation(spark, sf):
+    # window top-N per group over the customer-grain aggregate
+    from fastcdc_rs_spark.operators.relational import top_customers_per_nation
+
+    return top_customers_per_nation(
+        _tbl(spark, sf, "customer"),
+        _tbl(spark, sf, "orders"),
+        _tbl(spark, sf, "nation"),
+        k=3,
+    ).orderBy("n_name", "rank")
+
+
+def q_late_order_priority(spark, sf):
+    # TPC-H Q4 shape: EXISTS (left-semi join) + aggregate
+    from fastcdc_rs_spark.operators.relational import late_order_priority
+
+    return late_order_priority(
+        _tbl(spark, sf, "orders"), _tbl(spark, sf, "lineitem")
+    ).orderBy("o_orderpriority")
+
+
 def q_embedding_topk(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -407,6 +453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_substring_pairs": q_suffix_substring_pairs,
         "event_sessions": q_event_sessions,
         "event_type_stats": q_event_type_stats,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "late_order_priority": q_late_order_priority,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -575,9 +625,12 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # session_id: the windowed sum widens to HUGEINT in DuckDB → cast back
+    # to BIGINT so the typed hash matches Spark's LongType; the sess window
+    # orders by full ts (same as Spark's w_rows), not truncated ts_sec.
     sql["event_sessions"] = """
         WITH marked AS (
-          SELECT user_id,
+          SELECT user_id, ts,
                  floor(epoch(ts))::BIGINT AS ts_sec,
                  CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
                        OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w >= 1800
@@ -587,8 +640,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         sess AS (
           SELECT user_id, ts_sec,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM marked
         )
         SELECT user_id, session_id,
@@ -597,6 +650,85 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """
+
+    # Relational TPC-H-shape oracles. All monetary sums run in DECIMAL on
+    # both engines (the driver data is exact 2-decimal doubles; leaf casts
+    # to decimal(10,2)/decimal(3,2) are unambiguous), so the sums are
+    # bit-identical; only the final scalar converts to DOUBLE. Windowed /
+    # summed integers are cast back to BIGINT (DuckDB widens to HUGEINT).
+    sql["pricing_summary"] = """
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(10,2)) AS ext,
+                 CAST(l_discount AS DECIMAL(3,2)) AS disc,
+                 CAST(l_tax AS DECIMAL(3,2)) AS tax
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        ),
+        agg AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(qty) AS BIGINT) AS sum_qty,
+                 sum(ext) AS sum_base,
+                 sum(ext * (1.00 - disc)) AS sum_disc,
+                 sum((ext * (1.00 - disc)) * (1.00 + tax)) AS sum_charge,
+                 sum(disc) AS sum_discount,
+                 count(*) AS count_order
+          FROM base GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty,
+               CAST(sum_base AS DOUBLE) AS sum_base_price,
+               CAST(sum_disc AS DOUBLE) AS sum_disc_price,
+               CAST(sum_charge AS DOUBLE) AS sum_charge,
+               round(CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE), 6) AS avg_qty,
+               round(CAST(sum_base AS DOUBLE) / CAST(count_order AS DOUBLE), 6) AS avg_price,
+               round(CAST(sum_discount AS DOUBLE) / CAST(count_order AS DOUBLE), 6) AS avg_disc,
+               count_order
+        FROM agg ORDER BY l_returnflag, l_linestatus
+    """
+
+    sql["revenue_by_nation"] = """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                        * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY n_name
+    """
+
+    sql["top_customers_per_nation"] = """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+                 count(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT n_name, c_custkey, CAST(rev AS DOUBLE) AS revenue, n_orders,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY rev DESC, c_custkey ASC) AS rank
+          FROM per_cust
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, c_custkey, revenue, n_orders, rank
+        FROM ranked WHERE rank <= 3 ORDER BY n_name, rank
+    """
+
+    sql["late_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
 
     sql["event_type_stats"] = """

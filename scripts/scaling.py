@@ -163,7 +163,7 @@ v2020, v2016, ronomon).
   scale: 100,000-doc corpus, 32,270 verified pairs on both sides,
   dup-pair recall 1.000000, precision 1.000000, all 100,000 cluster
   assignments identical (target >= 0.99; parity by shared kernels);
-- 22 of 27 driver queries verified against DuckDB oracle SQL
+- 26 of 31 driver queries verified against DuckDB oracle SQL
   (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
   are rows-only by design).
 """
