@@ -117,6 +117,21 @@ def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), n=3, min_jaccard=0.5).orderBy("a", "b")
 
 
+def q_ngram_jaccard_capped(spark, sf):
+    # production default: document-frequency cap bounds the self-join
+    # fan-out to Σ min(df, cap)² (stopword-filtered Jaccard; the oracle
+    # twin applies the identical cap)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf), n=3, min_jaccard=0.5, df_cap=8
+    ).orderBy("a", "b")
+
+
+def q_substring_pairs_capped(spark, sf):
+    # production default for B10: hot boilerplate grams (df > cap) are
+    # dropped before bucket pair expansion; drops are logged via metrics
+    return substring_pairs(_docs(spark, sf), min_len=40, df_cap=8).orderBy("a", "b")
+
+
 def q_ngram_cc(spark, sf):
     docs = _docs(spark, sf)
     edges = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).select("a", "b")
@@ -448,8 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "token_ngrams": q_token_ngrams,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "ngram_cc": q_ngram_cc,
         "substring_pairs": q_substring_pairs,
+        "substring_pairs_capped": q_substring_pairs_capped,
         "suffix_substring_pairs": q_suffix_substring_pairs,
         "event_sessions": q_event_sessions,
         "event_type_stats": q_event_type_stats,
@@ -608,6 +625,32 @@ def oracle_sql() -> dict[str, str]:
         _JACCARD_PAIRS + "SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b"
     )
 
+    # df-capped twin: grams with document frequency > 8 leave the gram
+    # universe before the join (both intersection and set sizes)
+    sql["ngram_jaccard_capped"] = f"""
+        WITH {_GRAMS},
+        kept AS (
+          SELECT g.doc_id, g.ngram_hash FROM grams g
+          JOIN (SELECT ngram_hash FROM grams
+                GROUP BY ngram_hash HAVING count(*) <= 8) d USING (ngram_hash)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+          FROM kept ga JOIN kept gb USING (ngram_hash)
+          WHERE ga.doc_id < gb.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a, b,
+                 round(n_common::DOUBLE / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON inter.a = sa.doc_id
+          JOIN sizes sb ON inter.b = sb.doc_id
+        )
+        SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b
+    """
+
     sql["ngram_cc"] = (
         "WITH RECURSIVE "
         + _JACCARD_PAIRS.replace("WITH ", "", 1)
@@ -760,6 +803,28 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["substring_pairs"] = substr_pairs_sql
     sql["suffix_substring_pairs"] = substr_pairs_sql
+
+    # production-default twin: buckets over the df cap drop before pair
+    # expansion (HAVING on the gram's document frequency)
+    sql["substring_pairs_capped"] = f"""
+        WITH cg AS (
+          SELECT DISTINCT doc_id, {_H.format(x='g')} AS gram_hash
+          FROM (
+            SELECT doc_id, substr(text, i, 40) AS g
+            FROM (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+                 LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+          )
+        ),
+        kept AS (
+          SELECT cg.doc_id, cg.gram_hash FROM cg
+          JOIN (SELECT gram_hash FROM cg
+                GROUP BY gram_hash HAVING count(*) <= 8) k USING (gram_hash)
+        )
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM kept l JOIN kept r USING (gram_hash)
+        WHERE l.doc_id < r.doc_id
+        ORDER BY a, b
+    """
 
     cos = """
       round(

@@ -156,15 +156,33 @@ def substring_pairs(docs: DataFrame, min_len: int = 40, df_cap: int | None = Non
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
+                        df_cap: int | None = None,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(a, b, jaccard) for doc pairs with token-n-gram Jaccard >= threshold.
 
     Inverted-index join: pairs sharing no n-gram are never materialized.
-    The shuffle key is the n-gram hash; hot n-grams (boilerplate) fan out
-    quadratically, so at scale feed this from ``token_ngrams`` with a
-    document-frequency cap — here expressed as a configurable filter.
+    The shuffle key is the n-gram hash; hot n-grams (boilerplate,
+    stopword runs) fan out quadratically — the self-join materializes
+    Σ df² rows. ``df_cap`` removes grams whose document frequency
+    exceeds the cap *before* the join (stopword-filtered Jaccard: capped
+    grams leave both the intersection and the set sizes, so the metric
+    stays a true Jaccard over the kept gram universe). With a cap the
+    join fan-out is bounded by Σ min(df, cap)² ≤ cap · |grams|, linear
+    in corpus size. ``None`` = exact (the oracle twin); at CC scale
+    always set a cap.
     """
     grams = token_ngrams(docs, n, text_col, id_col)
+    if df_cap is not None:
+        # df filter: one extra aggregation on the same key the self-join
+        # shuffles on, so the exchange is aligned (no additional shuffle
+        # of the grams side beyond the aggregate itself).
+        kept = (
+            grams.groupBy("ngram_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("ngram_hash")
+        )
+        grams = grams.join(kept, "ngram_hash")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # NOTE: deliberately a streaming self-join, NOT the collect_list +
     # pair-expansion form used by substring_pairs. Token 3-grams are HOT

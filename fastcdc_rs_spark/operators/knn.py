@@ -116,6 +116,8 @@ def kmeans_centroids(
     rows = (
         vectors.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     )
+    if not rows:
+        raise ValueError("kmeans_centroids: empty vectors DataFrame")
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms > 0, norms, 1.0)

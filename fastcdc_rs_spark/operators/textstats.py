@@ -30,8 +30,14 @@ __all__ = [
 
 # GPT-2-style pre-tokenizer (portable subset: works identically in Java
 # regex and RE2/DuckDB): contractions, optionally-space-prefixed letter
-# runs, digit runs, punctuation runs, residual whitespace.
-BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# runs, digit runs, punctuation runs, residual whitespace. Whitespace is
+# an explicit class because Java's \s includes \x0B (vertical tab) while
+# RE2's does not — the explicit class pins identical semantics.
+_WS = r" \t\n\x0B\f\r"
+BPE_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+"
+)
 
 _STOPWORDS = ("the", "of", "and", "to", "in", "is", "for", "with", "on", "that")
 

@@ -11,9 +11,10 @@ Plan shape per micro-batch (foreachBatch):
   new bands self-⋈                              -> within-batch candidates
   index      <- append new bands
 
-foreachBatch is at-least-once under retries; the pair sink is therefore
-deduplicated on read (`dropDuplicates`), and the index append is
-idempotent per batch id via overwrite-by-batch subdirectories.
+foreachBatch is at-least-once under retries; BOTH sinks (band index and
+pairs) are therefore idempotent per batch id via overwrite-by-batch
+subdirectories — a retried micro-batch replaces its own output. Readers
+load the parent dir (Spark partition discovery exposes `batch`).
 
 Env / args:
   INCDEDUP_SOURCE   streaming source dir (parquet docs, schema doc_id/text)
@@ -94,7 +95,12 @@ def run_incremental_candidates(
             pairs = pair_frames[0]
             for f in pair_frames[1:]:
                 pairs = pairs.unionByName(f)
-            pairs.distinct().write.mode("append").parquet(pairs_path)
+            # idempotent under foreachBatch retries: one subdir per batch
+            # id with overwrite, mirroring the band-index layout (a retried
+            # batch replaces its own output instead of appending twice)
+            pairs.distinct().write.mode("overwrite").parquet(
+                os.path.join(pairs_path, f"batch={batch_id}")
+            )
         finally:
             batch_df.unpersist()
 

@@ -235,6 +235,47 @@ def test_plan_quality_ivf_broadcast_probes(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_bpe_pattern_portable_on_vertical_tab(spark):
+    # Java \s includes \x0B, RE2's does not — the explicit whitespace
+    # class must make both engines tokenize a VT-containing text alike
+    import duckdb
+
+    from fastcdc_rs_spark.operators.textstats import bpe_token_stats
+
+    text = "hello\x0bworld 42\x0b\x0b!"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    srow = bpe_token_stats(docs).collect()[0]
+    from fastcdc_rs_spark.operators.textstats import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    orow = duckdb.sql(
+        f"SELECT len(regexp_extract_all('{text}', '{pat}')) AS n"
+    ).fetchone()
+    assert srow.n_bpe_tokens == orow[0]
+
+
+def test_ngram_jaccard_df_cap_kills_boilerplate_fanout(spark):
+    # 12 docs share one boilerplate sentence (hot grams, df=12) plus a
+    # unique tail; docs 100/101 are true near-dups through rare grams.
+    # Uncapped: the boilerplate connects all 12 docs pairwise (66 pairs).
+    # Capped below 12: boilerplate grams leave the gram universe, only
+    # the rare-gram near-dup pair survives.
+    from fastcdc_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved terms of service apply here"
+    rows = [(i, f"{boiler} unique{i}") for i in range(12)]
+    near = "quick brown foxes jump over lazy dogs daily at dawn"
+    rows += [(100, near + " alpha"), (101, near + " omega")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.a, r.b) for r in
+                ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).collect()}
+    capped = {(r.a, r.b) for r in
+              ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, df_cap=8).collect()}
+    assert len(uncapped) >= 66  # quadratic boilerplate fan-out
+    assert capped == {(100, 101)}
+
+
 def test_sessionize_gap_boundary(spark):
     # gap strictly less than the horizon continues a session; a gap of
     # exactly the horizon starts a new one; single-event users get one
