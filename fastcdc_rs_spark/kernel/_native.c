@@ -1,0 +1,113 @@
+/* FastCDC v2020 scan kernel, scalar C — the optional fast path behind
+ * kernel/native.py (compiled on first use with the system cc; the numpy
+ * kernel in kernel/batch.py is the always-available fallback).
+ *
+ * Semantics are a from-scratch port of this repo's own golden-pinned
+ * Python kernel (kernel/fastcdc.py `cut`, itself bit-exact against
+ * fastcdc-rs src/v2020/mod.rs:350-409): min-size skip, strict masks
+ * before center, lax after, two bytes per pair (shifted table on even
+ * positions judged against mask<<1, plain table on odd), sub-min tail
+ * with hash 0, max-size fallback carrying the running hash. The golden
+ * tests pin every cut point and hash for both implementations.
+ */
+
+#include <stddef.h>
+#include <stdint.h>
+
+typedef struct {
+    uint64_t mask_s, mask_l, mask_s_ls, mask_l_ls;
+    int64_t min_size, avg_size, max_size;
+} fcdc_cfg;
+
+/* One cut decision over window[0..n): returns the chunk length and
+ * writes the gear hash at the cut (0 for sub-min / degenerate). */
+static size_t fcdc_cut(const uint8_t *w, size_t n, const fcdc_cfg *c,
+                       const uint64_t *gear, const uint64_t *gear_ls,
+                       uint64_t *out_hash)
+{
+    if (n <= (size_t)c->min_size) {
+        *out_hash = 0;
+        return n;
+    }
+    size_t remaining = n;
+    size_t center = (size_t)c->avg_size;
+    if (remaining > (size_t)c->max_size)
+        remaining = (size_t)c->max_size;
+    else if (remaining < center)
+        center = remaining;
+    size_t start = 2 * ((size_t)c->min_size / 2);
+    size_t end1 = 2 * (center / 2);     /* strict phase end (exclusive) */
+    size_t end2 = 2 * (remaining / 2);  /* scan end (exclusive) */
+    if (end2 <= start) {
+        *out_hash = 0;
+        return remaining;
+    }
+    uint64_t hash = 0;
+    size_t i = start;
+    /* start/end1/end2 are all even, so pairs never straddle a boundary */
+    while (i < end1) {
+        hash = (hash << 2) + gear_ls[w[i]];
+        if ((hash & c->mask_s_ls) == 0) { *out_hash = hash; return i; }
+        hash += gear[w[i + 1]];
+        if ((hash & c->mask_s) == 0) { *out_hash = hash; return i + 1; }
+        i += 2;
+    }
+    while (i < end2) {
+        hash = (hash << 2) + gear_ls[w[i]];
+        if ((hash & c->mask_l_ls) == 0) { *out_hash = hash; return i; }
+        hash += gear[w[i + 1]];
+        if ((hash & c->mask_l) == 0) { *out_hash = hash; return i + 1; }
+        i += 2;
+    }
+    *out_hash = hash;
+    return remaining;
+}
+
+/* Chunk n_docs documents stored back-to-back in `data`; doc i spans
+ * [offs[i], offs[i+1]).  Emits per-doc chunk counts plus flat
+ * (hash, offset-within-doc, length) arrays ordered (doc, offset).
+ * Returns the total chunk count, or -1 if `cap` would be exceeded
+ * (callers size cap = sum(len_i / min_size) + n_docs, an upper bound). */
+int64_t fcdc_chunk_batch(const uint8_t *data, const int64_t *offs,
+                         int64_t n_docs,
+                         uint64_t mask_s, uint64_t mask_l,
+                         uint64_t mask_s_ls, uint64_t mask_l_ls,
+                         int64_t min_size, int64_t avg_size, int64_t max_size,
+                         const uint64_t *gear, const uint64_t *gear_ls,
+                         int64_t *counts, uint64_t *out_hash,
+                         int64_t *out_off, int64_t *out_len, int64_t cap)
+{
+    fcdc_cfg cfg;
+    cfg.mask_s = mask_s;
+    cfg.mask_l = mask_l;
+    cfg.mask_s_ls = mask_s_ls;
+    cfg.mask_l_ls = mask_l_ls;
+    cfg.min_size = min_size;
+    cfg.avg_size = avg_size;
+    cfg.max_size = max_size;
+
+    int64_t total = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        const uint8_t *doc = data + offs[d];
+        size_t len = (size_t)(offs[d + 1] - offs[d]);
+        size_t processed = 0;
+        int64_t n_chunks = 0;
+        while (processed < len) {
+            uint64_t h;
+            size_t cutlen = fcdc_cut(doc + processed, len - processed,
+                                     &cfg, gear, gear_ls, &h);
+            if (cutlen == 0)
+                break; /* unreachable: cut always consumes > 0 here */
+            if (total >= cap)
+                return -1;
+            out_hash[total] = h;
+            out_off[total] = (int64_t)processed;
+            out_len[total] = (int64_t)cutlen;
+            total++;
+            n_chunks++;
+            processed += cutlen;
+        }
+        counts[d] = n_chunks;
+    }
+    return total;
+}

@@ -35,7 +35,7 @@ import numpy as np
 from .fastcdc import ChunkerConfig
 from .gear import gear_with_seed
 
-__all__ = ["chunk_batch", "chunk_batch_columnar"]
+__all__ = ["chunk_batch", "chunk_batch_columnar", "chunk_batch_columnar_numpy"]
 
 _U64 = np.uint64
 
@@ -190,6 +190,23 @@ def chunk_batch_columnar(
     bufs: list[np.ndarray], cfg: ChunkerConfig
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Chunk a batch of uint8 buffers; columnar result.
+
+    Dispatcher: uses the compiled C kernel (kernel/native.py, ~1 GB/s/core)
+    when a C compiler is available and ``SPARK_GRAFT_NATIVE`` != 0,
+    otherwise the numpy affine-scan kernel below. Both are bit-exact
+    against the goldens; parity is pinned by tests/test_kernel_batch.py.
+    """
+    from . import native
+
+    if native.available():
+        return native.chunk_batch_columnar_native(bufs, cfg)
+    return chunk_batch_columnar_numpy(bufs, cfg)
+
+
+def chunk_batch_columnar_numpy(
+    bufs: list[np.ndarray], cfg: ChunkerConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """numpy affine-scan implementation (always available).
 
     Returns ``(counts, hashes, offsets, lengths)``: ``counts[i]`` chunks for
     doc i; the flat arrays are ordered (doc, offset) — ``np.split(arr,
