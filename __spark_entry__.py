@@ -312,9 +312,13 @@ def q_minhash_bands(spark, sf):
     units = unit_hashes(_docs(spark, sf), CFG)
     signed = minhash_signatures(units, k=CFG.shingle_k, n_perms=CFG.n_perms,
                                 bands=CFG.bands, rows=CFG.rows, seed=CFG.minhash_seed)
-    return signed.select(
-        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
-    ).orderBy("doc_id", "band_id")
+    # posexplode_once: avoids the inferred size()>0 filter re-running the
+    # signature UDF (fastcdc_rs_spark/functions/plan_safe.py)
+    from fastcdc_rs_spark.functions.plan_safe import posexplode_once
+
+    return posexplode_once(
+        signed, "bands", "band_id", "band_hash", keep=["doc_id"]
+    ).select("doc_id", "band_id", "band_hash").orderBy("doc_id", "band_id")
 
 
 def q_simhash(spark, sf):

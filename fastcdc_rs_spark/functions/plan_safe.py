@@ -1,0 +1,49 @@
+"""Plan-safe wrappers around optimizer footguns.
+
+``explode_once`` / ``posexplode_once``: Catalyst's InferFiltersFromGenerate
+rule turns ``explode(expr)`` into ``Filter(size(expr) > 0) → Generate``,
+and the pushed-down filter re-evaluates ``expr`` — for an expensive array
+expression (a pandas-UDF column, a transform() building thousands of
+grams) that silently DOUBLES the work. The outer generator variants need
+no inferred filter; a cheap null-check on the generated ordinal restores
+the inner semantics. Use these whenever the exploded expression is not
+already materialized (persisted/shuffled) below the explode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["explode_once", "posexplode_once"]
+
+
+def explode_once(
+    df: DataFrame,
+    arr: Column | str,
+    alias: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """``df.select(*keep, explode(arr).alias(alias))`` without the
+    inferred-filter double evaluation of ``arr``."""
+    keep = keep if keep is not None else []
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.where(F.col(alias).isNotNull())
+
+
+def posexplode_once(
+    df: DataFrame,
+    arr: Column | str,
+    pos_alias: str,
+    val_alias: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """``df.select(*keep, posexplode(arr).alias(pos, val))`` without the
+    inferred-filter double evaluation of ``arr``."""
+    keep = keep if keep is not None else []
+    out = df.select(
+        *keep, F.posexplode_outer(arr).alias(pos_alias, val_alias)
+    )
+    return out.where(F.col(pos_alias).isNotNull())

@@ -32,11 +32,14 @@ from pyspark.sql.types import (
 )
 
 from ..kernel import ChunkerConfig
-from ..kernel.batch import chunk_batch, chunk_batch_columnar
+from ..kernel.batch import chunk_batch_columnar
 
 __all__ = [
     "CHUNK_SCHEMA",
+    "CHUNK_ARRAYS_SCHEMA",
     "chunk_documents",
+    "chunk_arrays_udf",
+    "chunks_expr",
     "chunks_udf",
     "chunk_hashes_udf",
     "unsigned_hash_expr",
@@ -52,14 +55,6 @@ CHUNK_SCHEMA = ArrayType(
     )
 )
 
-_U64_MOD = 1 << 64
-_I64_MAX = (1 << 63) - 1
-
-
-def _to_signed(h: int) -> int:
-    return h - _U64_MOD if h > _I64_MAX else h
-
-
 def unsigned_hash_expr(col: str | Column) -> Column:
     """Recover the u64 bit pattern of a chunk hash as a DecimalType(20,0)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -68,36 +63,65 @@ def unsigned_hash_expr(col: str | Column) -> Column:
     )
 
 
-def chunks_udf(cfg: ChunkerConfig):
-    """Pandas UDF: text/binary column → array<struct<hash,offset,length>>.
+CHUNK_ARRAYS_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType()), False),
+        StructField("offsets", ArrayType(LongType()), False),
+        StructField("lengths", ArrayType(IntegerType()), False),
+    ]
+)
 
-    The per-batch path is fully vectorized: bytes are stacked and chunked by
-    ``chunk_batch`` (no per-row Python in the scan loop); only the small
-    per-chunk result tuples are materialized row-side.
+
+def chunk_arrays_udf(cfg: ChunkerConfig):
+    """Pandas UDF: text/binary column → struct-of-arrays
+    ``(hashes array<long>, offsets array<long>, lengths array<int>)``.
+
+    Fully columnar: the kernel result arrays are viewed/split with numpy
+    and handed to Arrow as ndarray cells — no per-chunk Python objects
+    anywhere. The array-of-structs view (``CHUNK_SCHEMA``) is rebuilt
+    JVM-side by ``chunks_expr``/``chunk_documents`` via ``arrays_zip``.
     """
 
-    @F.pandas_udf(CHUNK_SCHEMA)
-    def _chunk(data: pd.Series) -> pd.Series:
-        bufs = []
-        for v in data:
-            if v is None:
-                bufs.append(np.array([], dtype=np.uint8))
-            elif isinstance(v, (bytes, bytearray)):
-                bufs.append(np.frombuffer(v, dtype=np.uint8))
-            else:
-                bufs.append(np.frombuffer(str(v).encode("utf-8"), dtype=np.uint8))
-        results = chunk_batch(bufs, cfg)
-        return pd.Series(
-            [
-                [
-                    {"hash": _to_signed(h), "offset": o, "length": ln}
-                    for h, o, ln in doc_chunks
-                ]
-                for doc_chunks in results
-            ]
+    @F.pandas_udf(CHUNK_ARRAYS_SCHEMA)
+    def _chunk(data: pd.Series) -> pd.DataFrame:
+        bufs = _to_bufs(data)
+        if not bufs:
+            return pd.DataFrame({"hashes": [], "offsets": [], "lengths": []})
+        counts, hashes, offs, lns = chunk_batch_columnar(bufs, cfg)
+        splits = np.cumsum(counts)[:-1]
+        return pd.DataFrame(
+            {
+                "hashes": pd.Series(np.split(hashes.view(np.int64), splits)),
+                "offsets": pd.Series(np.split(offs, splits)),
+                "lengths": pd.Series(np.split(lns.astype(np.int32), splits)),
+            }
         )
 
     return _chunk
+
+
+def chunks_expr(ca: Column) -> Column:
+    """JVM: struct-of-arrays column → array<struct<hash,offset,length>>."""
+    return F.arrays_zip(
+        ca["hashes"].alias("hash"),
+        ca["offsets"].alias("offset"),
+        ca["lengths"].alias("length"),
+    )
+
+
+def chunks_udf(cfg: ChunkerConfig):
+    """text/binary column → array<struct<hash,offset,length>> (CHUNK_SCHEMA).
+
+    Composition of ``chunk_arrays_udf`` (Arrow-columnar Python) and the
+    JVM ``arrays_zip`` — same public contract as before, zero per-chunk
+    Python object materialization.
+    """
+    inner = chunk_arrays_udf(cfg)
+
+    def apply(col: str | Column) -> Column:
+        return chunks_expr(inner(col))
+
+    return apply
 
 
 def _to_bufs(data: pd.Series) -> list[np.ndarray]:
@@ -144,12 +168,24 @@ def chunk_documents(
     (``chunks``) or the exploded chunks table
     ``(id..., chunk_idx, hash, offset, length)``.
     """
-    with_arr = docs.select(*id_cols, chunks_udf(cfg)(F.col(content_col)).alias("chunks"))
+    # one UDF evaluation (aliased column), array-of-structs built JVM-side
+    with_sa = docs.select(
+        *id_cols, chunk_arrays_udf(cfg)(F.col(content_col)).alias("ca")
+    )
+    with_arr = with_sa.select(
+        *id_cols, chunks_expr(F.col("ca")).alias("chunks")
+    )
     if not exploded:
         return with_arr
+    # posexplode_outer + post-filter instead of posexplode: the plain
+    # generator makes Catalyst infer a `size(chunks) > 0` filter and push
+    # it BELOW the projection, duplicating the kernel UDF evaluation
+    # (two ArrowEvalPython nodes = 2x the chunking work). The outer form
+    # needs no such filter; empty docs yield one null row dropped by the
+    # cheap post-generate filter. Plan pinned by tests (1 ArrowEvalPython).
     return with_arr.select(
-        *id_cols, F.posexplode("chunks").alias("chunk_idx", "c")
-    ).select(
+        *id_cols, F.posexplode_outer("chunks").alias("chunk_idx", "c")
+    ).where(F.col("chunk_idx").isNotNull()).select(
         *id_cols,
         "chunk_idx",
         F.col("c.hash").alias("hash"),

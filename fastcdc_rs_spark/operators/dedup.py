@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..functions.plan_safe import explode_once
 from ..functions.portable import md5_long
 
 __all__ = [
@@ -75,9 +76,9 @@ def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
             )
         )
     )
-    return docs.select(
-        F.col(id_col), F.explode(grams).alias("ngram")
-    ).select(id_col, md5_long("ngram").alias("ngram_hash")).distinct()
+    return explode_once(docs, grams, "ngram", keep=[id_col]).select(
+        id_col, md5_long("ngram").alias("ngram_hash")
+    ).distinct()
 
 
 def char_ngrams(docs: DataFrame, n: int = 40, text_col: str = "text",
@@ -103,8 +104,9 @@ def char_ngrams(docs: DataFrame, n: int = 40, text_col: str = "text",
         )
     )
     return (
-        docs.where(F.length(text) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        explode_once(
+            docs.where(F.length(text) >= n), grams, "gram", keep=[id_col]
+        )
         .select(id_col, md5_long("gram").alias("gram_hash"))
         .distinct()
     )
@@ -148,8 +150,7 @@ def substring_pairs(docs: DataFrame, min_len: int = 40, df_cap: int | None = Non
         )
     )
     return (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
+        explode_once(buckets.where(F.size("ids") >= 2), pair_expr, "p")
         .select("p.a", "p.b")
         .distinct()
     )

@@ -189,11 +189,14 @@ def cosine_topk_ivf(
         )
     lists = ivf_assign(vectors, centroids, id_col, vec_col)
 
-    qdots = _centroid_dots(vec_col, centroids)
+    from ..functions.plan_safe import posexplode_once
+
+    qdots = _centroid_dots("_qvec", centroids)
     probes = (
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-            F.posexplode(qdots).alias("list_id", "_cdot"),
+        posexplode_once(
+            queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+            qdots, "list_id", "_cdot",
+            keep=[query_id_col, "_qvec"],
         )
         .withColumn(
             "_prank",

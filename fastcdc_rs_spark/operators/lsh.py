@@ -20,6 +20,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..functions.plan_safe import explode_once
+
 __all__ = ["candidate_pairs"]
 
 
@@ -48,28 +50,29 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
         .where(F.col("bucket_size") > 1)
     )
     annotated = bands_df.join(sizes, ["band_id", "band_hash"]).persist()
+    # cache ownership: `annotated` feeds both pair branches below; callers
+    # that materialize the pairs (the pipeline, jobs) release it via this
+    # attribute — a long-lived session running many queries back-to-back
+    # must not accumulate cached band tables.
 
-    small_pairs = (
+    pair_expr = F.filter(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x: F.transform(
+                    "members", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    small_pairs = explode_once(
         annotated.where(F.col("bucket_size") <= bucket_cap)
         .groupBy("band_id", "band_hash")
-        .agg(F.collect_list(id_col).alias("members"))
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "members",
-                            lambda x: F.transform(
-                                "members", lambda y: F.struct(x.alias("a"), y.alias("b"))
-                            ),
-                        )
-                    ),
-                    lambda p: p["a"] < p["b"],
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    )
+        .agg(F.collect_list(id_col).alias("members")),
+        pair_expr,
+        "p",
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
 
     star_pairs = (
         annotated.where(F.col("bucket_size") > bucket_cap)
@@ -85,4 +88,5 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
         F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
         F.sum(F.when(F.col("bucket_size") > bucket_cap, F.col("bucket_size")).otherwise(0)).alias("capped_docs"),
     )
+    pairs._graft_caches = [annotated]  # released by release_caches()
     return pairs, metrics

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .cache import release_caches
 from .kernel import ChunkerConfig
 from .operators.components import connected_components
 from .operators.lsh import candidate_pairs
@@ -129,11 +130,19 @@ def near_dup_clusters(
 
     pairs, metrics = candidate_pairs(bands_df, bucket_cap=cfg.bucket_cap, id_col=id_col)
     shingled = signed.select(id_col, "shingles")
-    verified = verify_pairs(pairs, shingled, threshold=cfg.threshold, id_col=id_col)
+    # verified persists so post-CC consumers never recompute it from the
+    # (released) upstream caches; it is the one frame left cached for the
+    # caller (small: the edge set).
+    verified = verify_pairs(
+        pairs, shingled, threshold=cfg.threshold, id_col=id_col
+    ).persist()
 
     clusters = connected_components(
         verified, vertices=docs.select(id_col), id_col=id_col
     )
+    # connected_components materializes its rounds (localCheckpoint), so
+    # the upstream caches are consumed by now — release them.
+    release_caches(pairs, signed, units)
     return clusters, verified, metrics
 
 

@@ -34,9 +34,15 @@ def stream_chunk_documents(
     id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Chunk a streaming documents DataFrame → streaming chunks rows."""
+    from ..functions.plan_safe import posexplode_once
+
     return (
-        stream_df.select(*id_cols, chunks_udf(cfg)(F.col(content_col)).alias("chunks"))
-        .select(*id_cols, F.posexplode("chunks").alias("chunk_idx", "c"))
+        posexplode_once(
+            stream_df.select(
+                *id_cols, chunks_udf(cfg)(F.col(content_col)).alias("chunks")
+            ),
+            "chunks", "chunk_idx", "c", keep=list(id_cols),
+        )
         .select(
             *id_cols,
             "chunk_idx",

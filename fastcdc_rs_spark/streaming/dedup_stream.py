@@ -95,9 +95,11 @@ def stream_band_keys(
         units, k=cfg.shingle_k, n_perms=cfg.n_perms,
         bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
     )
-    return signed.select(
-        id_col, F.posexplode("bands").alias("band_id", "band_hash")
-    )
+    from ..functions.plan_safe import posexplode_once
+
+    return posexplode_once(
+        signed, "bands", "band_id", "band_hash", keep=[id_col]
+    ).select(id_col, "band_id", "band_hash")
 
 
 def start_exact_dedup_stream(

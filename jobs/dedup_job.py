@@ -25,6 +25,7 @@ import json
 
 import pyspark.sql.functions as F
 
+from fastcdc_rs_spark.cache import release_caches
 from fastcdc_rs_spark.operators.components import connected_components
 from fastcdc_rs_spark.operators.lsh import candidate_pairs
 from fastcdc_rs_spark.operators.minhash import minhash_signatures
@@ -60,6 +61,8 @@ def main() -> int:
     bands_df = signed.select(id_col, F.posexplode("bands").alias("band_id", "band_hash"))
     pairs_df, metrics = candidate_pairs(bands_df, bucket_cap=cfg.bucket_cap, id_col=id_col)
     pairs = run.stage("pairs", lambda: pairs_df)
+    m = metrics.first().asDict()  # consume bucket stats before the release
+    release_caches(pairs_df)      # run.stage materialized the pairs
     verified = run.stage(
         "verified",
         lambda: verify_pairs(pairs, signed.select(id_col, "shingles"),
@@ -70,7 +73,6 @@ def main() -> int:
         lambda: connected_components(verified, vertices=docs.select(id_col), id_col=id_col),
     )
 
-    m = metrics.first().asDict()
     n_docs = docs.count()
     n_clustered = clusters.where(F.col("cluster_id") != F.col(id_col)).count()
     summary = {

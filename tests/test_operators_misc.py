@@ -235,6 +235,49 @@ def test_plan_quality_ivf_broadcast_probes(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_chunk_documents_single_arrow_udf_no_row_python(spark):
+    # the exploded chunks table must evaluate the kernel UDF exactly once
+    # and never fall back to row-at-a-time Python (BatchEvalPython)
+    from fastcdc_rs_spark.kernel import ChunkerConfig
+    from fastcdc_rs_spark.operators.chunk import chunk_documents
+    from fastcdc_rs_spark.plans import assert_no_python_row_udf, executed_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = chunk_documents(docs, ChunkerConfig(64, 256, 1024), content_col="text")
+    assert_no_python_row_udf(df)
+    plan = executed_plan(df)
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_release_caches_helper(spark):
+    from fastcdc_rs_spark.cache import attach_caches, release_caches
+
+    a = spark.range(10).persist()
+    b = spark.range(5).persist()
+    df = attach_caches(spark.range(3), [a])
+    a.count(), b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    release_caches(df, b)
+    assert not a.storageLevel.useMemory  # attached cache released
+    assert not b.storageLevel.useMemory  # directly-persisted frame released
+
+
+def test_pipeline_leaves_only_verified_cached(spark):
+    # near_dup_clusters must release units/signed/annotated after CC;
+    # the returned verified frame stays cached (documented contract)
+    from fastcdc_rs_spark.cache import release_caches
+    from fastcdc_rs_spark.pipeline import DedupConfig, near_dup_clusters
+
+    pdf = corpus_pandas(n_docs=120, seed=5).reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    clusters, verified, metrics = near_dup_clusters(docs, DedupConfig())
+    clusters.count()
+    assert verified.storageLevel.useMemory
+    release_caches(verified)
+    assert not verified.storageLevel.useMemory
+
+
 def test_bpe_pattern_portable_on_vertical_tab(spark):
     # Java \s includes \x0B, RE2's does not — the explicit whitespace
     # class must make both engines tokenize a VT-containing text alike
