@@ -1,0 +1,248 @@
+"""Snapshot table catalog — the Iceberg-shaped source/sink (B1/B13).
+
+At CC scale the ingestion story is an Iceberg table of web pages and the
+pipeline writes stage outputs back as table snapshots: atomic commits,
+snapshot isolation, time travel, and copy-on-write partition overwrites
+(idempotent resume = re-running a partition replaces exactly that
+partition). ``ParquetSnapshotCatalog`` implements those semantics on bare
+parquet + a JSON commit log, so the sandbox (no Iceberg runtime jar)
+exercises the identical contract; ``IcebergCatalog`` is the thin wrapper
+a cluster deployment swaps in.
+
+Layout per table (all data files immutable once committed):
+
+    <root>/<table>/
+        snap-<uuid>/<partition dirs or plain parquet>   # one dir per commit
+        _log.json                                       # ordered commits
+
+A commit appends to ``_log.json`` via write-temp + ``os.replace`` — the
+atomic pointer flip that stands in for an Iceberg metadata swap. Readers
+resolve the latest committed snapshot; a crash after data write but
+before log append leaves an orphan directory that readers never see
+(same as Iceberg's uncommitted data files). Single committer per table
+(the Spark driver), as in any one-job-one-table pipeline.
+
+Cluster swap (documented, not executed here — the runtime jar is not in
+this sandbox)::
+
+    spark = (SparkSession.builder
+        .config("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.lake.type", "hadoop")
+        .config("spark.sql.catalog.lake.warehouse", "s3://bucket/warehouse")
+        .config("spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+        .getOrCreate())
+    catalog = IcebergCatalog(spark, "lake.db")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["ParquetSnapshotCatalog", "IcebergCatalog", "get_catalog"]
+
+
+class ParquetSnapshotCatalog:
+    """Snapshot semantics over parquet directories + a JSON commit log."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+
+    # -- commit log -------------------------------------------------------
+    def _log_path(self, table: str) -> Path:
+        return self.root / table / "_log.json"
+
+    def _read_log(self, table: str) -> list[dict]:
+        p = self._log_path(table)
+        if not p.exists():
+            return []
+        return json.loads(p.read_text())
+
+    def _append_commit(self, table: str, entry: dict) -> None:
+        log = self._read_log(table)
+        entry["snapshot_id"] = len(log) + 1
+        entry["committed_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        log.append(entry)
+        tmp = self._log_path(table).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(log, indent=2))
+        os.replace(tmp, self._log_path(table))  # atomic pointer flip
+
+    def snapshots(self, table: str) -> list[dict]:
+        return self._read_log(table)
+
+    # -- write paths ------------------------------------------------------
+    def _new_snap_dir(self, table: str) -> Path:
+        d = self.root / table / f"snap-{uuid.uuid4().hex[:12]}"
+        d.mkdir(parents=True, exist_ok=False)
+        return d
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: str | None = None,
+    ) -> dict:
+        """Full-table overwrite as a new snapshot (previous snapshots stay
+        readable via time travel)."""
+        snap = self._new_snap_dir(table)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(str(snap / "data"))
+        if partition_by:
+            # per-partition path keys, so a later overwrite_partitions can
+            # carry untouched partitions forward by reference
+            parts = {
+                d: str(snap / "data" / d)
+                for d in os.listdir(snap / "data")
+                if d.startswith(f"{partition_by}=")
+            }
+            ptype = dict(df.dtypes).get(partition_by)
+        else:
+            parts = {"data": str(snap / "data")}
+            ptype = None
+        entry = {
+            "op": "overwrite_table",
+            "partition_by": partition_by,
+            "partition_type": ptype,
+            "paths": parts,
+        }
+        self._append_commit(table, entry)
+        return entry
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_col: str
+    ) -> dict:
+        """Copy-on-write partition overwrite (Iceberg
+        ``overwritePartitions``): partitions present in ``df`` are
+        replaced; every other partition of the current snapshot is
+        carried forward BY REFERENCE (its immutable files are re-listed,
+        not rewritten) — this is what makes per-partition re-runs
+        idempotent and cheap."""
+        values = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+        snap = self._new_snap_dir(table)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(
+            str(snap / "data")
+        )
+        new_paths = {
+            f"{partition_col}={v}": str(snap / "data" / f"{partition_col}={v}")
+            for v in values
+        }
+        carried = {}
+        log = self._read_log(table)
+        if log:
+            prev = log[-1]["paths"]
+            if "data" in prev:
+                raise ValueError(
+                    f"table {table!r} is unpartitioned; write it with "
+                    "partition_by before overwrite_partitions"
+                )
+            for key, path in prev.items():
+                if key not in new_paths:
+                    carried[key] = path
+        entry = {
+            "op": "overwrite_partitions",
+            "partition_by": partition_col,
+            "partition_type": dict(df.dtypes).get(partition_col),
+            "replaced": sorted(new_paths),
+            "paths": {**carried, **new_paths},
+        }
+        self._append_commit(table, entry)
+        return entry
+
+    # -- read paths -------------------------------------------------------
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the latest (or a time-travel) snapshot."""
+        log = self._read_log(table)
+        if not log:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        entry = log[-1] if snapshot_id is None else log[snapshot_id - 1]
+        paths = entry["paths"]
+        if "data" in paths and len(paths) == 1:
+            return self.spark.read.parquet(paths["data"])
+        # partitioned: reconstruct the partition column from the dir key
+        # with its recorded type (basePath tricks don't apply across
+        # snapshots — dirs live in different snap roots, exactly like
+        # Iceberg data files)
+        ptype = entry.get("partition_type") or "string"
+        frames = []
+        for key, path in sorted(paths.items()):
+            col, _, raw = key.partition("=")
+            frames.append(
+                self.spark.read.parquet(path).withColumn(
+                    col, F.lit(raw).cast(ptype)
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+
+class IcebergCatalog:
+    """Same contract over a real Iceberg catalog (cluster deployments).
+
+    Requires the iceberg-spark-runtime jar and catalog configs (module
+    docstring); raises immediately if the catalog is not configured so
+    misconfiguration fails loudly rather than writing bare parquet.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        self.spark = spark
+        self.namespace = namespace
+        catalog = namespace.split(".", 1)[0]
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            raise RuntimeError(
+                f"Iceberg catalog {catalog!r} not configured; see "
+                "fastcdc_rs_spark/sources/table.py docstring for the stanza"
+            )
+
+    def _ident(self, table: str) -> str:
+        return f"{self.namespace}.{table}"
+
+    def write(self, df: DataFrame, table: str, partition_by: str | None = None) -> dict:
+        w = df.writeTo(self._ident(table))
+        if partition_by:
+            w = w.partitionedBy(F.col(partition_by))
+        w.createOrReplace()
+        return {"op": "overwrite_table"}
+
+    def overwrite_partitions(self, df: DataFrame, table: str, partition_col: str) -> dict:
+        df.writeTo(self._ident(table)).overwritePartitions()
+        return {"op": "overwrite_partitions"}
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        r = self.spark.read
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", snapshot_id)
+        return r.format("iceberg").load(self._ident(table))
+
+    def snapshots(self, table: str) -> list[dict]:
+        return [
+            r.asDict()
+            for r in self.spark.read.format("iceberg")
+            .load(f"{self._ident(table)}.snapshots")
+            .collect()
+        ]
+
+
+def get_catalog(spark: SparkSession, root_or_namespace: str, kind: str = "parquet"):
+    """``kind='parquet'`` → sandbox snapshot catalog; ``'iceberg'`` → real
+    catalog (cluster). Jobs take this as config so the swap is one flag."""
+    if kind == "parquet":
+        return ParquetSnapshotCatalog(spark, root_or_namespace)
+    if kind == "iceberg":
+        return IcebergCatalog(spark, root_or_namespace)
+    raise ValueError(f"unknown catalog kind {kind!r}")

@@ -33,6 +33,7 @@ from fastcdc_rs_spark.operators.verify import verify_pairs
 from fastcdc_rs_spark.pipeline import DedupConfig, unit_hashes
 from fastcdc_rs_spark.session import spark_session
 from fastcdc_rs_spark.sources.checkpoint import CheckpointedRun
+from fastcdc_rs_spark.sources.table import get_catalog
 
 
 def main() -> int:
@@ -72,6 +73,12 @@ def main() -> int:
         "clusters",
         lambda: connected_components(verified, vertices=docs.select(id_col), id_col=id_col),
     )
+    # publish through the abstract snapshot catalog (DEDUP_CATALOG=iceberg
+    # swaps in the real Iceberg writer on a cluster; sources/table.py)
+    catalog = get_catalog(
+        spark, f"{out}/lake", kind=os.environ.get("DEDUP_CATALOG", "parquet")
+    )
+    catalog.write(clusters, "clusters")
 
     n_docs = docs.count()
     n_clustered = clusters.where(F.col("cluster_id") != F.col(id_col)).count()
@@ -82,6 +89,7 @@ def main() -> int:
         "docs_in_nontrivial_clusters": n_clustered,
         "bucket_metrics": m,
         "stages": run.events,
+        "clusters_snapshots": len(catalog.snapshots("clusters")),
     }
     with open(f"{out}/summary.json", "w") as f:
         json.dump(summary, f, indent=2, default=str)

@@ -1,0 +1,76 @@
+"""Snapshot catalog semantics: atomic commits, time travel, copy-on-write
+partition overwrite (the idempotent-resume primitive), crash orphans."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fastcdc_rs_spark.sources.table import ParquetSnapshotCatalog, get_catalog
+
+
+def _rows(df):
+    return sorted((r[0], r[1]) for r in df.select("p", "v").collect())
+
+
+def test_overwrite_partitions_copy_on_write(spark, tmp_path):
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(p, f"v{p}") for p in range(4)], "p int, v string"
+    )
+    cat.write(base, "docs", partition_by="p")
+    assert _rows(cat.read("docs")) == [(p, f"v{p}") for p in range(4)]
+
+    # replace exactly partition 2 (a re-run of one partition's work)
+    patch = spark.createDataFrame([(2, "NEW")], "p int, v string")
+    entry = cat.overwrite_partitions(patch, "docs", "p")
+    assert entry["replaced"] == ["p=2"]
+    got = _rows(cat.read("docs"))
+    assert got == [(0, "v0"), (1, "v1"), (2, "NEW"), (3, "v3")]
+
+    # untouched partitions were carried by reference, not rewritten
+    paths = cat.snapshots("docs")[-1]["paths"]
+    snap1_paths = cat.snapshots("docs")[0]["paths"]
+    assert paths["p=0"] == snap1_paths["p=0"]
+    assert paths["p=2"] != snap1_paths["p=2"]
+
+    # time travel: snapshot 1 still shows the original partition 2
+    old = _rows(cat.read("docs", snapshot_id=1))
+    assert old == [(p, f"v{p}") for p in range(4)]
+
+    # idempotent re-run: same patch again -> same current view
+    cat.overwrite_partitions(patch, "docs", "p")
+    assert _rows(cat.read("docs")) == got
+    assert len(cat.snapshots("docs")) == 3
+
+
+def test_uncommitted_data_invisible(spark, tmp_path):
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    df = spark.createDataFrame([(1, "a")], "p int, v string")
+    cat.write(df, "t", partition_by="p")
+    # simulate a crash: data directory written, commit log never appended
+    orphan = cat.root / "t" / "snap-deadbeef" / "data"
+    orphan.mkdir(parents=True)
+    spark.createDataFrame([(9, "GHOST")], "p int, v string").write.parquet(
+        str(orphan / "p=9"), mode="overwrite"
+    )
+    assert _rows(cat.read("t")) == [(1, "a")]  # ghost never visible
+
+
+def test_unpartitioned_guard_and_missing_table(spark, tmp_path):
+    cat = get_catalog(spark, str(tmp_path / "lake"))
+    with pytest.raises(FileNotFoundError):
+        cat.read("nope")
+    df = spark.createDataFrame([(1, "a")], "p int, v string")
+    cat.write(df, "flat")  # unpartitioned
+    with pytest.raises(ValueError, match="unpartitioned"):
+        cat.overwrite_partitions(df, "flat", "p")
+    assert _rows(cat.read("flat")) == [(1, "a")]
+
+
+def test_iceberg_catalog_requires_config(spark):
+    from fastcdc_rs_spark.sources.table import IcebergCatalog
+
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergCatalog(spark, "lake.db")
