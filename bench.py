@@ -154,10 +154,14 @@ def main() -> None:
     )
     timings["embedding_near_dups_lsh"] = round(time.perf_counter() - t0, 3)
 
-    # flagship: synthetic CC-style corpus at realistic page sizes
+    # flagship: synthetic CC-style corpus at realistic page sizes, with
+    # the B14 pipeline metrics riding the run's own actions (Observation
+    # nodes — no extra passes)
     sdocs, n, _ = _stage_corpus(spark, SYNTH_DOCS, int(CPUS))
     t0 = time.perf_counter()
-    clusters, _, _ = near_dup_clusters(sdocs, DedupConfig())
+    clusters, _, pmetrics = near_dup_clusters(
+        sdocs, DedupConfig(), collect_metrics=True
+    )
     _noop_write(clusters)
     dt = time.perf_counter() - t0
     timings["pipeline_synthetic"] = round(dt, 3)
@@ -172,6 +176,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_metrics": getattr(pmetrics, "_graft_summary", None),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -118,7 +118,9 @@ def _cc_loop(
     if _DEBUG:
         print(f"cc: {n_edges} sym edges, loop partitions {loop_parts}", flush=True)
 
+    rounds = 0
     for it in range(max_iter):
+        rounds = it + 1
         _t0 = time.perf_counter()
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -151,10 +153,16 @@ def _cc_loop(
     sym.unpersist()
 
     comp = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
-    if vertices is None:
-        return comp
-    return (
-        vertices.select(F.col(id_col))
-        .join(comp, id_col, "left")
-        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
-    )
+    stats = {
+        "cc_rounds": rounds,
+        "cc_sym_edges": int(n_edges),
+        "cc_loop_partitions": int(loop_parts),
+    }
+    if vertices is not None:
+        comp = (
+            vertices.select(F.col(id_col))
+            .join(comp, id_col, "left")
+            .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+        )
+    comp._graft_cc_stats = stats  # consumed by pipeline metrics (B14)
+    return comp

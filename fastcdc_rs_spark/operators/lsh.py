@@ -82,11 +82,24 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
 
     pairs = small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b"])
 
+    # bucket-size histogram (log2 buckets, collision buckets only) rides
+    # along as a map column — the B14 skew observable
+    hist = (
+        sizes.groupBy(
+            F.ceil(F.log2("bucket_size")).cast("int").alias("log2_size")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("log2_size", "n")))
+            ).alias("bucket_hist")
+        )
+    )
     metrics = sizes.agg(
         F.count(F.lit(1)).alias("buckets"),
         F.max("bucket_size").alias("max_bucket"),
         F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
         F.sum(F.when(F.col("bucket_size") > bucket_cap, F.col("bucket_size")).otherwise(0)).alias("capped_docs"),
-    )
+    ).crossJoin(hist)
     pairs._graft_caches = [annotated]  # released by release_caches()
     return pairs, metrics

@@ -95,14 +95,30 @@ def near_dup_clusters(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    collect_metrics: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the full pipeline; returns (clusters, verified_pairs, metrics).
 
     clusters: (doc_id, cluster_id) for every input doc (singletons included).
     verified_pairs: (a, b, jaccard).
-    metrics: single-row bucket statistics from candidate generation.
+    metrics: single-row bucket statistics from candidate generation. With
+    ``collect_metrics=True`` the B14 metrics ride the pipeline's own
+    actions via ``Observation`` nodes (docs, units/doc, candidate and
+    verified pair counts — zero extra passes) plus CC round counters, and
+    ``metrics`` becomes a fully-collected one-row frame whose values are
+    also attached as ``metrics._graft_summary`` (a plain dict).
     """
+    from pyspark.sql import Observation
+
     units = unit_hashes(docs, cfg, id_col, text_col)
+    obs_units = obs_pairs = obs_verified = None
+    if collect_metrics:
+        obs_units = Observation("units")
+        units = units.observe(
+            obs_units,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size("unit_hashes")).alias("units_total"),
+        )
     if cfg.candidates != "minhash":
         # simhash path consumes units again — avoid re-running the chunk UDF
         units = units.persist()
@@ -129,17 +145,55 @@ def near_dup_clusters(
         bands_df = sim_bands if bands_df is None else bands_df.unionByName(sim_bands)
 
     pairs, metrics = candidate_pairs(bands_df, bucket_cap=cfg.bucket_cap, id_col=id_col)
+    if collect_metrics:
+        from pyspark.sql import Observation
+
+        obs_pairs = Observation("pairs")
+        caches = pairs._graft_caches
+        pairs = pairs.observe(
+            obs_pairs, F.count(F.lit(1)).alias("candidate_pairs")
+        )
+        pairs._graft_caches = caches
     shingled = signed.select(id_col, "shingles")
+    verified = verify_pairs(pairs, shingled, threshold=cfg.threshold, id_col=id_col)
+    if collect_metrics:
+        from pyspark.sql import Observation
+
+        obs_verified = Observation("verified")
+        verified = verified.observe(
+            obs_verified, F.count(F.lit(1)).alias("verified_pairs")
+        )
     # verified persists so post-CC consumers never recompute it from the
     # (released) upstream caches; it is the one frame left cached for the
     # caller (small: the edge set).
-    verified = verify_pairs(
-        pairs, shingled, threshold=cfg.threshold, id_col=id_col
-    ).persist()
+    verified = verified.persist()
 
     clusters = connected_components(
         verified, vertices=docs.select(id_col), id_col=id_col
     )
+    if collect_metrics:
+        import json
+
+        # bucket stats consumed while `annotated` is still cached
+        bucket_row = metrics.first().asDict()
+        hist = bucket_row.pop("bucket_hist", None) or {}
+        summary = {
+            **{k: int(v) for k, v in obs_units.get.items()},
+            **{k: int(v) for k, v in obs_pairs.get.items()},
+            **{k: int(v) for k, v in obs_verified.get.items()},
+            **{k: int(v or 0) for k, v in bucket_row.items()},
+            **clusters._graft_cc_stats,
+        }
+        summary["units_per_doc"] = round(
+            summary["units_total"] / max(summary["docs"], 1), 3
+        )
+        summary["bucket_hist"] = json.dumps(
+            {str(k): int(v) for k, v in sorted(hist.items())}
+        )
+        spark = docs.sparkSession
+        metrics = spark.createDataFrame([tuple(summary.values())],
+                                        list(summary.keys()))
+        metrics._graft_summary = summary
     # connected_components materializes its rounds (localCheckpoint), so
     # the upstream caches are consumed by now — release them.
     release_caches(pairs, signed, units)

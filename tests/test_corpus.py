@@ -49,7 +49,34 @@ def test_dup_structure_present():
 def test_extraction_edge_cases():
     assert extract_text_bytes(b"no markers here") == "no markers here"
     assert extract_text_bytes(b"<body></body>") == ""
-    assert extract_text_bytes(b"a<body>x</body>b<body>y</body>") == "x</body>b<body>y"
+    # nested/malformed bodies fall into the tag-strip branch (v2)
+    assert extract_text_bytes(b"a<body>x</body>b<body>y</body>") == "x b y"
+
+
+def test_extraction_malformed_html_v2():
+    # attributes on body, script/style/comment stripping, entity decode
+    html = (
+        b'<html><head><script>var x = "<body>evil</body>";</script></head>'
+        b'<body class="main">\n  Hello &amp; <b>world</b>!'
+        b"<style>p { color: red }</style>"
+        b"<!-- hidden <body>comment</body> -->"
+        b" Caf\xc3\xa9 &lt;tag&gt; done </body><footer>f</footer></html>"
+    )
+    # tags become separators (safe for block elements), hence "world !"
+    assert (
+        extract_text_bytes(html)
+        == "Hello & world ! Café <tag> done"
+    )
+    # no closing body -> whole-document fallback, tags stripped
+    assert extract_text_bytes(b"<html><body>abc <i>def") == "abc def"
+    # unterminated script must not swallow the rest silently... it does by
+    # spec (script never closes), but the body fast path is unaffected:
+    assert extract_text_bytes(b"<body>plain text</body><script>x") == "plain text"
+    # invalid utf-8 decodes with replacement, never raises
+    out = extract_text_bytes(b"<body>ok \xff\xfe bytes</body>")
+    assert out.startswith("ok ") and out.endswith(" bytes")
+    # double-decode guard: &amp;lt; is literal "&lt;", not "<"
+    assert extract_text_bytes(b"<body>a &amp;lt; <b>b</b></body>") == "a &lt; b"
 
 
 # computed once from the verified generator (seed=42, n=50); see

@@ -87,9 +87,11 @@ def test_edit_locality(seed, n):
     # Deterministic locality invariants (theorems of the kernel, unlike a
     # fixed shared-count bound — hypothesis kept finding legitimate long
     # resync cascades on that):
-    # 1. every chunk ending at or before the edit is bit-identical (its
-    #    scan never examined the flipped byte);
-    prefix_a = [c for c in a if c[1] + c[2] <= pos]
+    # 1. every chunk ending strictly before the edit is bit-identical.
+    #    Strict: the cut at offset+length is judged ON that byte (the
+    #    reference hash includes the boundary byte the chunk excludes),
+    #    so a chunk ending exactly at pos DOES see the flip.
+    prefix_a = [c for c in a if c[1] + c[2] < pos]
     assert b[: len(prefix_a)] == prefix_a
     # 2. a single-byte FLIP preserves offsets, so from the first chunk
     #    boundary > pos common to both chunkings, the remainders are

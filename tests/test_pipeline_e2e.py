@@ -143,3 +143,29 @@ def test_token_mode_near_recall(spark, corpus):
     # precision controls hold in token mode too
     uniq = corpus[corpus.dup_kind == "unique"]
     assert all(cl[d] == d for d in uniq.doc_id)
+
+
+def test_pipeline_metrics_collection(spark):
+    import json as _json
+
+    from fastcdc_rs_spark.corpus import corpus_pandas
+    from fastcdc_rs_spark.pipeline import DedupConfig, near_dup_clusters
+
+    pdf = corpus_pandas(n_docs=150, seed=9).reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    clusters, verified, metrics = near_dup_clusters(
+        docs, DedupConfig(), collect_metrics=True
+    )
+    s = metrics._graft_summary
+    assert s["docs"] == 150
+    assert s["units_total"] > 0 and s["units_per_doc"] > 0
+    assert s["candidate_pairs"] >= s["verified_pairs"] >= 0
+    assert s["cc_rounds"] >= 1 and s["cc_sym_edges"] >= 0
+    hist = _json.loads(s["bucket_hist"])  # JSON log2-histogram
+    assert sum(hist.values()) == s["buckets"]
+    # the one-row DataFrame mirror matches the dict
+    row = metrics.first().asDict()
+    assert row["docs"] == 150 and row["candidate_pairs"] == s["candidate_pairs"]
+    # observation count equals the actual frame
+    assert verified.count() == s["verified_pairs"]
