@@ -129,30 +129,46 @@ chunk+signature.
 _STATIC_TAIL = """
 ## Fixed per-job floor (why sandbox pipeline efficiency understates scale)
 
-The full pipeline carries ~15-20 s of work that does not scale with
+The full pipeline carries ~10-15 s of work that does not scale with
 cores at this corpus size: iterative-CC rounds (each a tiny shuffle job
 with fixed scheduling cost), the pair/verify joins' stage setup, and JVM
 shuffle bookkeeping. At 100k docs that floor is comparable to the whole
-compute; at cluster scale (10^9+ docs per run) the same rounds process
-millions of rows each and the floor vanishes — analysis in docs/SCALE.md.
-The map stages (chunk+signature, the baseline metric) have no such floor,
-which is why they are the scaling-evidence job.
+compute (21.3 s total at local[32] since the native kernel landed); at
+cluster scale (10^9+ docs per run) the same rounds process millions of
+rows each and the floor vanishes — analysis in docs/SCALE.md. The map
+stages (chunk+signature, the baseline metric) have no such floor, which
+is why they are the scaling-evidence job.
 
 ## Chunker kernel (single core, vs reference single-core numbers)
 
 The Rust reference chunks at ~1.2-2.1 GB/s/core with 1-4 MB avg chunks
-on an M1 (BASELINE.md). The numpy kernel (pair-compressed affine scan,
-block-sliced judgments, columnar emission, avg-adaptive scan segments)
-reaches ~50-60 MB/s/core on 20-200 KB pages (16 KB avg config) and
-~22 MB/s/core on ~2.4 KB corpus docs with the tiny 256-byte-avg config,
-measured in a quiet window on this burstable VM. Per SURVEY.md §6 the
-gap to Rust is acceptable because the pipeline bottleneck at scale is
-shuffle, not chunking — the headline baseline metric (docs/sec through
-chunk + shingle + MinHash-128 + 32-band LSH, i.e. strictly more work
-than the reference's chunk-only numbers) reaches ~85 MB/s aggregate on
-8 cores (35.6k docs/s at 2.4 KB/doc). Cut points and hashes are
-bit-identical to the reference (golden tests for all three variants:
-v2020, v2016, ronomon).
+on an M1 (BASELINE.md). Since round 2 the production path is a compiled
+C kernel (kernel/_native.c, cc -O3 on first use, ctypes; bit-exact vs
+the goldens, numpy fallback kept): **~1.25 GB/s/core warm** on 100 KB
+random pages with the (4096, 16384, 65535) config, measured best-of-5
+in a quiet window on this burstable VM (cold first run ~10x slower —
+page faults) — i.e. within the reference's own 1.2-2.1 GB/s/core band.
+The numpy affine-scan fallback (pair-compressed Hillis-Steele, columnar
+emission) does ~50-60 MB/s/core on the same input and remains the
+SPARK_GRAFT_NATIVE=0 / no-compiler path. The headline baseline metric
+(docs/sec through chunk + shingle + MinHash-128 + 32-band LSH, strictly
+more work than the reference's chunk-only numbers) reaches ~100k docs/s
+on 8 cores (~250 MB/s aggregate at ~2.4 KB/doc). Cut points and hashes
+are bit-identical to the reference (golden tests for all three variants:
+v2020, v2016, ronomon; native==numpy parity suite).
+
+## Round-2 headline deltas (sf0.1, local[32], quiet window)
+
+| metric | round 1 | round 2 | driver |
+|---|---|---|---|
+| headline_queries_total | 77.4 s | 51.4 s | native C kernel + explode double-eval fix + cache hygiene |
+| pipeline_synthetic (100k docs) | 32.1 s (3114 docs/s) | 21.3 s (4704 docs/s) | same |
+| chunk+signature @8 cores | 37.3k docs/s (~90 MB/s) | 172.5k docs/s (~418 MB/s) | native C kernel |
+| chunker kernel single-core | ~50-60 MB/s | ~1.25 GB/s | kernel/_native.c |
+
+bench.py also emits `pipeline_metrics` (B14): docs, units/doc, candidate
+and verified pair counts (Observation nodes riding the run's own
+actions), bucket-size log2 histogram, cap counters, CC rounds.
 
 ## Correctness gates (see tests/)
 
@@ -163,9 +179,11 @@ v2020, v2016, ronomon).
   scale: 100,000-doc corpus, 32,270 verified pairs on both sides,
   dup-pair recall 1.000000, precision 1.000000, all 100,000 cluster
   assignments identical (target >= 0.99; parity by shared kernels);
-- 26 of 31 driver queries verified against DuckDB oracle SQL
+- 28 of 33 driver queries verified against DuckDB oracle SQL
   (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
-  are rows-only by design).
+  are rows-only by design), including four TPC-H-shape relational
+  queries (decimal-exact sums) and df-capped production twins of the
+  n-gram/substring dedup queries.
 """
 
 
