@@ -138,12 +138,15 @@ def main() -> None:
         "embedding_topk_ivf",
         "dedup_clusters",
     ]
+    from fastcdc_rs_spark.cache import release_all
+
     timings: dict[str, float] = {}
     qs = entrymod.queries()
     for name in qnames:
         t0 = time.perf_counter()
         _noop_write(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_all()  # drain operator-registered caches between queries
 
     # embedding near-dups via the bucketed (scale) path
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

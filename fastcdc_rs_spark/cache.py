@@ -10,7 +10,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["attach_caches", "release_caches"]
+__all__ = ["attach_caches", "release_caches", "register_cache", "release_all"]
+
+# Session-level registry: operators whose results get wrapped by callers
+# (orderBy etc. drops instance attributes) register persisted frames here;
+# a harness (bench, a job) drains it between queries.
+_REGISTRY: list[DataFrame] = []
+
+
+def register_cache(df: DataFrame) -> DataFrame:
+    _REGISTRY.append(df)
+    return df
+
+
+def release_all() -> None:
+    """Unpersist every registered frame (idempotent; drains the registry)."""
+    while _REGISTRY:
+        df = _REGISTRY.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def attach_caches(df: DataFrame, caches: list[DataFrame]) -> DataFrame:

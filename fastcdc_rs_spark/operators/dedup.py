@@ -32,6 +32,18 @@ __all__ = [
 ]
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure the expensive pre-explode map side (gram construction +
+    hashing multiplies rows ~100x) runs at session parallelism: a small
+    single-file input otherwise binds the whole stage to one task. At
+    real scale the input has more splits than cores and this is a no-op.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(text_hash, n_docs, canonical_id) for every duplicated text."""
@@ -76,7 +88,7 @@ def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
             )
         )
     )
-    return explode_once(docs, grams, "ngram", keep=[id_col]).select(
+    return explode_once(_spread(docs), grams, "ngram", keep=[id_col]).select(
         id_col, md5_long("ngram").alias("ngram_hash")
     ).distinct()
 
@@ -105,7 +117,7 @@ def char_ngrams(docs: DataFrame, n: int = 40, text_col: str = "text",
     )
     return (
         explode_once(
-            docs.where(F.length(text) >= n), grams, "gram", keep=[id_col]
+            _spread(docs.where(F.length(text) >= n)), grams, "gram", keep=[id_col]
         )
         .select(id_col, md5_long("gram").alias("gram_hash"))
         .distinct()
@@ -172,7 +184,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
     in corpus size. ``None`` = exact (the oracle twin); at CC scale
     always set a cap.
     """
-    grams = token_ngrams(docs, n, text_col, id_col)
+    # The gram table feeds FOUR consumers (both join sides + both size
+    # lookups) and Catalyst does not reuse the exchange across the
+    # differently-aliased sides — uncached, the explode+hash+distinct
+    # plan runs four times (measured: 4 FileScans). Persist it once;
+    # ownership rides the result via _graft_caches (cache.release_caches).
+    from ..cache import register_cache
+
+    caches = []
+    grams = register_cache(token_ngrams(docs, n, text_col, id_col).persist())
+    caches.append(grams)
     if df_cap is not None:
         # df filter: one extra aggregation on the same key the self-join
         # shuffles on, so the exchange is aligned (no additional shuffle
@@ -183,7 +204,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
             .where(F.col("df") <= df_cap)
             .select("ngram_hash")
         )
-        grams = grams.join(kept, "ngram_hash")
+        grams = register_cache(grams.join(kept, "ngram_hash").persist())
+        caches.append(grams)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # NOTE: deliberately a streaming self-join, NOT the collect_list +
     # pair-expansion form used by substring_pairs. Token 3-grams are HOT
@@ -202,7 +224,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("set_size").alias("size_b"))
-    return (
+    out = (
         inter.join(sa, "a").join(sb, "b")
         .withColumn(
             "jaccard",
@@ -215,3 +237,5 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
         .where(F.col("jaccard") >= min_jaccard)
         .select("a", "b", "jaccard")
     )
+    out._graft_caches = caches
+    return out
