@@ -249,6 +249,18 @@ def test_chunk_documents_single_arrow_udf_no_row_python(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
 
 
+def test_minhash_bands_single_arrow_udf(spark):
+    # the exploded band table must evaluate the signature UDF once
+    # (posexplode_once in the driver query / streaming path)
+    import __spark_entry__ as em
+    from fastcdc_rs_spark.plans import executed_plan
+
+    df = em.q_minhash_bands(spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_release_caches_helper(spark):
     from fastcdc_rs_spark.cache import attach_caches, release_caches
 
