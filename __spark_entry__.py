@@ -230,6 +230,25 @@ def q_late_order_priority(spark, sf):
     ).orderBy("o_orderpriority")
 
 
+def q_orders_rollup(spark, sf):
+    # grouping sets: ROLLUP(year, priority) with decimal-exact sums
+    from fastcdc_rs_spark.operators.relational import orders_rollup
+
+    return orders_rollup(_tbl(spark, sf, "orders")).orderBy(
+        F.col("order_year").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
+    )
+
+
+def q_customer_balance_quartiles(spark, sf):
+    # ntile window over the customer dimension, nation broadcast
+    from fastcdc_rs_spark.operators.relational import customer_balance_quartiles
+
+    return customer_balance_quartiles(
+        _tbl(spark, sf, "customer"), _tbl(spark, sf, "nation")
+    ).orderBy("n_name", "quartile")
+
+
 def q_embedding_topk(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -478,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
         "late_order_priority": q_late_order_priority,
+        "orders_rollup": q_orders_rollup,
+        "customer_balance_quartiles": q_customer_balance_quartiles,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -765,6 +786,30 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_name, c_custkey, revenue, n_orders, rank
         FROM ranked WHERE rank <= 3 ORDER BY n_name, rank
+    """
+
+    sql["orders_rollup"] = """
+        SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year,
+               o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (order_year, o_orderpriority)
+        ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """
+
+    sql["customer_balance_quartiles"] = """
+        WITH per_cust AS (
+          SELECT n_name, c_custkey,
+                 CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+                 ntile(4) OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, quartile, count(*) AS n_customers,
+               CAST(sum(bal) AS DOUBLE) AS total_balance
+        FROM per_cust GROUP BY n_name, quartile
+        ORDER BY n_name, quartile
     """
 
     sql["late_order_priority"] = """

@@ -36,6 +36,8 @@ __all__ = [
     "revenue_by_nation",
     "top_customers_per_nation",
     "late_order_priority",
+    "orders_rollup",
+    "customer_balance_quartiles",
 ]
 
 _PRICE = "decimal(10,2)"  # |values| < 1e8, exact 2-decimal data
@@ -162,6 +164,56 @@ def top_customers_per_nation(
             F.col("_rev").cast("double").alias("revenue"),
             "n_orders",
             "rank",
+        )
+    )
+
+
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """Revenue by (order year, priority) with ROLLUP subtotals + grand
+    total — grouping-sets coverage. Subtotal rows carry NULL group keys
+    in both engines; sums are decimal-exact."""
+    tp = F.col("o_totalprice").cast(_TOTAL)
+    agg = (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority"),
+            tp.alias("tp"),
+        )
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.sum("tp").alias("_rev"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    return agg.select(
+        "order_year",
+        "o_orderpriority",
+        F.col("_rev").cast("double").alias("revenue"),
+        "n_orders",
+    )
+
+
+def customer_balance_quartiles(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Per-nation account-balance quartiles (ntile window) with the
+    nation dimension broadcast; ties broken deterministically by key."""
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    joined = customer.select("c_custkey", "c_nationkey", "c_acctbal").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    per_cust = joined.select(
+        "n_name", "c_custkey",
+        F.col("c_acctbal").cast(_TOTAL).alias("bal"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return (
+        per_cust.groupBy("n_name", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal").alias("_b"),
+        )
+        .select(
+            "n_name", "quartile", "n_customers",
+            F.col("_b").cast("double").alias("total_balance"),
         )
     )
 
