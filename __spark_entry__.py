@@ -385,9 +385,15 @@ def q_minhash_lsh_sql(spark, sf):
     sigs = grams.groupBy("doc_id").agg(*mins)
     band0 = F.md5(F.concat_ws("_", *[F.col(f"m{j}").cast("string") for j in range(4)]))
     band1 = F.md5(F.concat_ws("_", *[F.col(f"m{j}").cast("string") for j in range(4, 8)]))
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(band0, band1)).alias("band_id", "band_hash"),
+    from fastcdc_rs_spark.cache import register_cache
+
+    # persist before the self-join: the aliased sides would otherwise
+    # re-run the whole signature aggregation twice (no exchange reuse)
+    bands = register_cache(
+        sigs.select(
+            "doc_id",
+            F.posexplode(F.array(band0, band1)).alias("band_id", "band_hash"),
+        ).persist()
     )
     left = bands.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
     right = bands.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
@@ -437,6 +443,8 @@ def q_simhash_hamming_pairs(spark, sf):
     # band), bucket equi-join for candidates, exact bit_count(XOR)
     # verification <= 3. Same shape as the production kernel path
     # (simhash_bands + hamming_distance_expr), twinned in DuckDB.
+    from fastcdc_rs_spark.cache import register_cache
+
     sigs = _simhash_sql_df(spark, sf)
     mask15 = (1 << 15) - 1
     bands = sigs.select(
@@ -453,6 +461,9 @@ def q_simhash_hamming_pairs(spark, sf):
             )
         ).alias("band_id", "band_val"),
     )
+    # persist: the Hamming self-join's aliased sides would re-run the
+    # 60-bit per-bit majority aggregation twice otherwise
+    bands = register_cache(bands.persist())
     left = bands.select(
         F.col("doc_id").alias("a"), F.col("simhash_sql").alias("sim_a"),
         "band_id", "band_val",

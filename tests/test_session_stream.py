@@ -1,0 +1,82 @@
+"""Streaming sessionization == batch sessionize on closed sessions,
+including sessions stitched across micro-batches (state carry)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from fastcdc_rs_spark.operators.events import sessionize
+from fastcdc_rs_spark.streaming.session_stream import stream_sessionize
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(eid, user, minutes):
+    return (eid, user, T0 + dt.timedelta(minutes=minutes))
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    # user 1: session A (0, 5, 10), session B (60, 61) — split so A's
+    # tail and B land in file 2 (stitching + closing across batches).
+    # user 2: one long session crossing the file boundary (25, 28, 31).
+    # user 3: session (0, 1) then a far-future event that closes it and
+    #         advances the watermark far enough to fire pending timeouts.
+    batch1 = [
+        _ev(1, 1, 0), _ev(2, 1, 5),
+        _ev(3, 2, 25), _ev(4, 2, 28),
+        _ev(5, 3, 0), _ev(6, 3, 1),
+    ]
+    batch2 = [
+        _ev(7, 1, 10), _ev(8, 1, 60), _ev(9, 1, 61),
+        _ev(10, 2, 31),
+        _ev(11, 3, 600),  # closes user 3's first session, pushes watermark
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "sessions_out")
+    q = (
+        stream_sessionize(stream, gap_minutes=30, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    batch_rows = {
+        (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(all_events, gap_minutes=30).collect()
+    }
+    # every emitted stream session is a true batch session
+    assert got <= batch_rows, got - batch_rows
+    # sessions CLOSED by a later event must all have been emitted:
+    # user 1 session 1 (0-10, 3 events: stitched across the two files!)
+    t0s = int(T0.timestamp())
+    assert (1, 1, t0s + 0, t0s + 10 * 60, 3) in got
+    # user 3 session 1 (closed by the far-future event)
+    assert (3, 1, t0s + 0, t0s + 60, 2) in got
+    # nothing split user 2's boundary-crossing session into two
+    u2 = [g for g in got if g[0] == 2]
+    for s in u2:
+        assert s[4] == 3, f"user 2 session split: {u2}"
