@@ -273,6 +273,27 @@ def q_embedding_topk_ivf(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+def q_embedding_topk_ivf_sql(spark, sf):
+    # IVF with PINNED deterministic centroids (the unit-normalized
+    # embeddings of vec_id 0..15) instead of the k-means fit — every
+    # stage (list assignment, probe selection, scoring, ranking) becomes
+    # SQL-expressible, so the full IVF path is oracle-checked. Selection
+    # dots are rounded to 6 decimals in both engines (deterministic
+    # argmax/top-n with index tiebreaks).
+    import numpy as np
+
+    emb = _emb(spark, sf)
+    rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    cents = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        emb, queries, k=10, centroids=cents, nprobe=4, round_scale=4
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dups(spark, sf):
     # threshold 0.45 sits just under the driver embeddings' max non-self
     # cosine (~0.49, isotropic vectors) so the oracle comparison is
@@ -512,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_quartiles": q_customer_balance_quartiles,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_topk_ivf_sql": q_embedding_topk_ivf_sql,
         "embedding_near_dups": q_embedding_near_dups,
         "extracted_text": q_extracted_text,
         "chunk_coverage": q_chunk_coverage,
@@ -910,6 +932,72 @@ def oracle_sql() -> dict[str, str]:
         ranked AS (
           SELECT query_id, vec_id, cosine,
                  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+
+    # IVF with pinned centroids: full path in SQL — normalize the first
+    # 16 embeddings as centroids, assign each vector to its argmax-dot
+    # list, probe top-4 lists per query, score only probed candidates.
+    sql["embedding_topk_ivf_sql"] = f"""
+        WITH cent AS (
+          SELECT vec_id AS list_id,
+                 list_transform(embedding, x -> x::DOUBLE / nrm) AS c
+          FROM (
+            SELECT vec_id, embedding,
+                   sqrt((SELECT sum(t.v::DOUBLE * t.v::DOUBLE)
+                         FROM (SELECT unnest(embedding) AS v) t)) AS nrm
+            FROM embeddings WHERE vec_id < 16
+          )
+        ),
+        dots AS (
+          SELECT e.vec_id, c.list_id, round(dp.d, 6) AS d
+          FROM embeddings e CROSS JOIN cent c,
+          LATERAL (SELECT sum(p.a::DOUBLE * p.b) AS d
+                   FROM (SELECT unnest(e.embedding) AS a, unnest(c.c) AS b) p) dp
+        ),
+        assign AS (
+          SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, list_id ASC) AS rn
+            FROM dots
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, list_id ASC) AS rn
+            FROM dots WHERE vec_id < 5
+          ) WHERE rn <= 4
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probes p JOIN assign a USING (list_id)
+        ),
+        pairs AS (
+          SELECT c2.query_id, c2.vec_id, q.embedding AS qvec, v.embedding AS vvec
+          FROM cand c2
+          JOIN embeddings q ON q.vec_id = c2.query_id
+          JOIN embeddings v ON v.vec_id = c2.vec_id
+        ),
+        scored AS (
+          SELECT query_id, vec_id, {cos} AS cosine
+          FROM pairs,
+          LATERAL (SELECT sum(x.a::DOUBLE * x.b::DOUBLE) AS d
+                   FROM (SELECT unnest(qvec) AS a, unnest(vvec) AS b) x) dp,
+          LATERAL (SELECT sum(y.a::DOUBLE * y.a::DOUBLE) AS n2
+                   FROM (SELECT unnest(qvec) AS a) y) qq,
+          LATERAL (SELECT sum(z.b::DOUBLE * z.b::DOUBLE) AS n2
+                   FROM (SELECT unnest(vvec) AS b) z) vv
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored
         )
         SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10

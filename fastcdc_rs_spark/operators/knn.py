@@ -140,10 +140,18 @@ def kmeans_centroids(
 
 
 def _centroid_dots(vec_col: str, centroids: np.ndarray) -> Column:
-    """array<double> of dot(vec, centroid_j) for all centroids, JVM-side."""
+    """array<double> of dot(vec, centroid_j) for all centroids, JVM-side.
+
+    Rounded to 6 decimals: list assignment and probe selection are
+    argmax/top-n over these values with a deterministic index tiebreak,
+    and rounding makes the selection reproducible across engines (the
+    DuckDB oracle computes the same dots from its own normalization —
+    equal to ~1e-15 relative, identical after rounding)."""
     return F.array(
         *[
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            F.round(
+                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])), 6
+            )
             for c in centroids
         ]
     )
