@@ -35,28 +35,34 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     ]
     schema = "event_id long, user_id long, ts timestamp"
     src = str(tmp_path / "events_src")
+    out_dir = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # two availableNow runs over one checkpoint: deterministic micro-batch
+    # boundaries (file listing order is not) + state resume across runs
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        # lateness 45m: run 1 ends with watermark max(28m) - 45m < 0, so
+        # batch 2's minute-10 continuation event is NOT late-dropped (the
+        # drop behavior itself is pinned in test_window_stats_stream)
+        q = (
+            stream_sessionize(stream, gap_minutes=30, watermark="45 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
     spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(src)
+    run_once()
     spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
         "append"
     ).parquet(src)
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out_dir = str(tmp_path / "sessions_out")
-    q = (
-        stream_sessionize(stream, gap_minutes=30, watermark="0 seconds")
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    run_once()
 
     got = {
         (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
