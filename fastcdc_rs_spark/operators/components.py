@@ -128,8 +128,13 @@ def _cc_loop(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
+        # carry the round-start label ("old") through the jump: the
+        # convergence check below becomes a filter-count on the already-
+        # checkpointed frame instead of an extra join+shuffle per round
         new_labels = labels.join(neighbor_min, "node").select(
-            "node", F.least("label", "nmin").alias("label")
+            "node",
+            F.least("label", "nmin").alias("label"),
+            F.col("label").alias("old"),
         )
         # pointer jumping: label <- label(label)
         lab2 = new_labels.select(
@@ -137,15 +142,14 @@ def _cc_loop(
         )
         jumped = _truncate(
             new_labels.join(lab2, "label", "left")
-            .select("node", F.coalesce("label2", "label").alias("label"))
+            .select(
+                "node", F.coalesce("label2", "label").alias("label"), "old"
+            )
         )
         changed = (
-            jumped.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            jumped.where(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = jumped
+        labels = jumped.select("node", "label")
         if _DEBUG:
             print(f"cc round {it}: changed={changed} {time.perf_counter() - _t0:.2f}s", flush=True)
         if changed == 0:
