@@ -11,9 +11,18 @@ is a one-function change that does not alter any DataFrame contract.
 
 from __future__ import annotations
 
+import io
+import os
 from collections.abc import Iterator
 
 import numpy as np
+
+try:  # real decoder when the environment provides it (not this container)
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -41,12 +50,19 @@ _FEATURE_DIM = 16
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB: a real implementation decodes with PIL/turbojpeg and returns
-    an HxWx3 uint8 array. Here: a deterministic fake derived from the
-    payload bytes so downstream plumbing (shapes, hashing, batching) is
-    exercised honestly. Raises on empty payload like a real decoder."""
+    """Decode to an HxWx3 uint8 array.
+
+    Uses PIL when importable (real deployments); otherwise — or when
+    ``SPARK_GRAFT_FAKE_MEDIA=1`` forces it (tests, this container) — a
+    clearly-marked deterministic STUB derived from the payload bytes so
+    the downstream plumbing (shapes, hashing, batching) is exercised
+    honestly. Raises on empty payload like a real decoder."""
     if not payload:
         raise ValueError("empty image payload")
+    if _HAVE_PIL and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    # STUB path
     h = (payload[0] % 8) + 2
     w = (payload[-1] % 8) + 2
     flat = np.frombuffer(payload, dtype=np.uint8)

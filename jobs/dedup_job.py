@@ -36,13 +36,9 @@ from fastcdc_rs_spark.sources.checkpoint import CheckpointedRun
 from fastcdc_rs_spark.sources.table import get_catalog
 
 
-def main() -> int:
-    inp = os.environ.get("DEDUP_INPUT", "/root/testdata/sf0.01/documents.parquet")
-    out = os.environ.get("DEDUP_OUTPUT", "/tmp/dedup_out")
-    overrides = json.loads(os.environ.get("DEDUP_CONFIG", "{}"))
-    cfg = DedupConfig(**overrides)
-
-    spark = spark_session(app="fastcdc-dedup-job")
+def run_dedup_job(spark, inp: str, out: str, cfg: DedupConfig,
+                  catalog_kind: str = "parquet") -> dict:
+    """Run the checkpointed dedup job; returns the summary dict."""
     docs = spark.read.parquet(inp)
     id_col = "doc_id" if "doc_id" in docs.columns else "url"
 
@@ -75,9 +71,7 @@ def main() -> int:
     )
     # publish through the abstract snapshot catalog (DEDUP_CATALOG=iceberg
     # swaps in the real Iceberg writer on a cluster; sources/table.py)
-    catalog = get_catalog(
-        spark, f"{out}/lake", kind=os.environ.get("DEDUP_CATALOG", "parquet")
-    )
+    catalog = get_catalog(spark, f"{out}/lake", kind=catalog_kind)
     catalog.write(clusters, "clusters")
 
     n_docs = docs.count()
@@ -93,6 +87,19 @@ def main() -> int:
     }
     with open(f"{out}/summary.json", "w") as f:
         json.dump(summary, f, indent=2, default=str)
+    return summary
+
+
+def main() -> int:
+    inp = os.environ.get("DEDUP_INPUT", "/root/testdata/sf0.01/documents.parquet")
+    out = os.environ.get("DEDUP_OUTPUT", "/tmp/dedup_out")
+    overrides = json.loads(os.environ.get("DEDUP_CONFIG", "{}"))
+    cfg = DedupConfig(**overrides)
+    spark = spark_session(app="fastcdc-dedup-job")
+    summary = run_dedup_job(
+        spark, inp, out, cfg,
+        catalog_kind=os.environ.get("DEDUP_CATALOG", "parquet"),
+    )
     print(json.dumps(summary, default=str))
     spark.stop()
     return 0
