@@ -12,8 +12,6 @@ already materialized (persisted/shuffled) below the explode.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 

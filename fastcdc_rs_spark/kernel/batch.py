@@ -33,7 +33,6 @@ from __future__ import annotations
 import numpy as np
 
 from .fastcdc import ChunkerConfig
-from .gear import gear_with_seed
 
 __all__ = ["chunk_batch", "chunk_batch_columnar", "chunk_batch_columnar_numpy"]
 

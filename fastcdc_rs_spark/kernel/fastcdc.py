@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .gear import GEAR, GEAR_LS, MASKS, gear_with_seed
+from .gear import MASKS, gear_with_seed
 
 __all__ = [
     "AVERAGE_MAX",

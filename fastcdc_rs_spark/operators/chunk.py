@@ -17,8 +17,6 @@ reinterpretation (documented here, reversed by ``unsigned_hash_expr``).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F

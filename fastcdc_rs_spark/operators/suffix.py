@@ -17,8 +17,6 @@ Output: (group_id, doc_a, doc_b, pos_a, pos_b, match_len).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
