@@ -177,9 +177,11 @@ actions), bucket-size log2 histogram, cap counters, CC rounds.
   (chunk boundaries + hashes, incl. seeds, NC0/NC3, zeros, with_eof);
 - Spark pipeline == single-node oracle bit-for-bit at the same
   shingle/signature/band config — verified at BENCH scale, not just test
-  scale: 100,000-doc corpus, 32,270 verified pairs on both sides,
-  dup-pair recall 1.000000, precision 1.000000, all 100,000 cluster
-  assignments identical (target >= 0.99; parity by shared kernels);
+  scale: 100,000-doc corpus, 32,270 verified pairs on both sides, and
+  (round 2, post-refactor) a 400,000-doc corpus, 130,576 verified pairs
+  on both sides — dup-pair recall 1.000000, precision 1.000000, all
+  400,000 cluster assignments identical (target >= 0.99; parity by
+  shared kernels);
 - 28 of 33 driver queries verified against DuckDB oracle SQL
   (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
   are rows-only by design), including four TPC-H-shape relational
