@@ -129,16 +129,16 @@ class ParquetSnapshotCatalog:
         carried forward BY REFERENCE (its immutable files are re-listed,
         not rewritten) — this is what makes per-partition re-runs
         idempotent and cheap."""
-        values = [
-            r[0] for r in df.select(partition_col).distinct().collect()
-        ]
         snap = self._new_snap_dir(table)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(
             str(snap / "data")
         )
+        # keys from the dirs Spark actually wrote (partition values are
+        # URL-encoded in dir names — raw values would mismatch)
         new_paths = {
-            f"{partition_col}={v}": str(snap / "data" / f"{partition_col}={v}")
-            for v in values
+            d: str(snap / "data" / d)
+            for d in os.listdir(snap / "data")
+            if d.startswith(f"{partition_col}=")
         }
         carried = {}
         log = self._read_log(table)
@@ -176,13 +176,15 @@ class ParquetSnapshotCatalog:
         # with its recorded type (basePath tricks don't apply across
         # snapshots — dirs live in different snap roots, exactly like
         # Iceberg data files)
+        from urllib.parse import unquote
+
         ptype = entry.get("partition_type") or "string"
         frames = []
         for key, path in sorted(paths.items()):
             col, _, raw = key.partition("=")
             frames.append(
                 self.spark.read.parquet(path).withColumn(
-                    col, F.lit(raw).cast(ptype)
+                    col, F.lit(unquote(raw)).cast(ptype)
                 )
             )
         out = frames[0]

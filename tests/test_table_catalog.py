@@ -69,6 +69,22 @@ def test_unpartitioned_guard_and_missing_table(spark, tmp_path):
     assert _rows(cat.read("flat")) == [(1, "a")]
 
 
+def test_partition_values_with_special_chars_roundtrip(spark, tmp_path):
+    # Spark URL-encodes partition values in dir names (a/b -> a%2Fb);
+    # the catalog must key commits by the encoded dir and decode on read.
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    vals = ["en US", "a/b", "x=y", "plain"]
+    df = spark.createDataFrame([(v, 1) for v in vals], "p string, v int")
+    cat.write(df, "t", partition_by="p")
+    assert sorted(r[0] for r in cat.read("t").select("p").collect()) == sorted(vals)
+
+    patch = spark.createDataFrame([("a/b", 99)], "p string, v int")
+    entry = cat.overwrite_partitions(patch, "t", "p")
+    assert entry["replaced"] == ["p=a%2Fb"]
+    got = sorted((r[0], r[1]) for r in cat.read("t").select("p", "v").collect())
+    assert got == [("a/b", 99), ("en US", 1), ("plain", 1), ("x=y", 1)]
+
+
 def test_iceberg_catalog_requires_config(spark):
     from fastcdc_rs_spark.sources.table import IcebergCatalog
 
