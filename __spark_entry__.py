@@ -303,6 +303,27 @@ def q_embedding_near_dups(spark, sf):
     ).orderBy("a", "b")
 
 
+def q_embedding_near_dups_rhp(spark, sf):
+    # the SCALE path for embedding near-dups, oracle-checked end-to-end:
+    # banded random-hyperplane LSH (4 bands x 2 sign bits) restricts the
+    # self-join to band-key collisions instead of all pairs. Planes are
+    # PINNED to the embeddings of vec_id 0..7 (same trick as the pinned
+    # IVF centroids) so bucketing, candidate generation, and scoring are
+    # all SQL-expressible; projections rounded to 6 decimals in both
+    # engines before the sign test.
+    import numpy as np
+
+    from fastcdc_rs_spark.operators.knn import cosine_near_duplicates_banded
+
+    emb = _emb(spark, sf)
+    rows = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    planes = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return cosine_near_duplicates_banded(
+        emb, threshold=0.45, planes=planes, bands=4, rows_per_band=2,
+        round_scale=4,
+    ).orderBy("a", "b")
+
+
 def q_extracted_text(spark, sf):
     # B2 extraction through SQL identity: wrap text in the corpus html
     # template JVM-side, extract with the real pandas-UDF extractor, and
@@ -535,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_ivf_sql": q_embedding_topk_ivf_sql,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_rhp": q_embedding_near_dups_rhp,
         "extracted_text": q_extracted_text,
         "chunk_coverage": q_chunk_coverage,
         "chunks": q_chunks,
@@ -1008,6 +1030,50 @@ def oracle_sql() -> dict[str, str]:
         WITH pairs AS (
           SELECT ea.vec_id AS a, eb.vec_id AS b, ea.embedding AS qvec, eb.embedding AS vvec
           FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+        ),
+        scored AS (
+          SELECT a, b, {cos} AS cosine
+          FROM pairs,
+          LATERAL (SELECT sum(x.a::DOUBLE * x.b::DOUBLE) AS d
+                   FROM (SELECT unnest(qvec) AS a, unnest(vvec) AS b) x) dp,
+          LATERAL (SELECT sum(y.a::DOUBLE * y.a::DOUBLE) AS n2
+                   FROM (SELECT unnest(qvec) AS a) y) qq,
+          LATERAL (SELECT sum(z.b::DOUBLE * z.b::DOUBLE) AS n2
+                   FROM (SELECT unnest(vvec) AS b) z) vv
+        )
+        SELECT a, b, cosine FROM scored WHERE cosine >= 0.45 ORDER BY a, b
+    """
+
+    # banded RHP twin: planes = embeddings of vec_id 0..7; plane pid
+    # contributes bit (pid % 2) of band (pid // 2) — matches
+    # rhp_band_keys's b*rows_per_band+r layout exactly.
+    sql["embedding_near_dups_rhp"] = f"""
+        WITH planes AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM embeddings WHERE vec_id < 8
+        ),
+        proj AS (
+          SELECT e.vec_id, p.pid, round(dp.d, 6) AS d
+          FROM embeddings e CROSS JOIN planes p,
+          LATERAL (SELECT sum(x.a::DOUBLE * x.b::DOUBLE) AS d
+                   FROM (SELECT unnest(e.embedding) AS a, unnest(p.pvec) AS b) x) dp
+        ),
+        keys AS (
+          SELECT vec_id, pid // 2 AS band_id,
+                 sum(CASE WHEN d >= 0 THEN 1 << (pid % 2) ELSE 0 END) AS band_key
+          FROM proj GROUP BY vec_id, pid // 2
+        ),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM keys l JOIN keys r
+            ON l.band_id = r.band_id AND l.band_key = r.band_key
+          WHERE l.vec_id < r.vec_id
+        ),
+        pairs AS (
+          SELECT c.a, c.b, ea.embedding AS qvec, eb.embedding AS vvec
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b
         ),
         scored AS (
           SELECT a, b, {cos} AS cosine

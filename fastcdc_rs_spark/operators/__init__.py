@@ -14,6 +14,7 @@ from .events import event_type_stats, sessionize
 from .extract import extract_text
 from .knn import (
     cosine_near_duplicates,
+    cosine_near_duplicates_banded,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     ivf_assign,
@@ -50,6 +51,7 @@ __all__ = [
     "chunks_udf",
     "connected_components",
     "cosine_near_duplicates",
+    "cosine_near_duplicates_banded",
     "cosine_topk_bruteforce",
     "dedup_flags",
     "doc_fingerprint",

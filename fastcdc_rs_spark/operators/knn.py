@@ -25,7 +25,9 @@ __all__ = [
     "cosine_expr",
     "cosine_topk_bruteforce",
     "cosine_near_duplicates",
+    "cosine_near_duplicates_banded",
     "rhp_buckets",
+    "rhp_band_keys",
     "kmeans_centroids",
     "ivf_assign",
     "cosine_topk_ivf",
@@ -99,6 +101,97 @@ def rhp_buckets(vectors: DataFrame, dim: int, n_planes: int = 8, seed: int = 7,
         proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return vectors.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def rhp_band_keys(
+    vectors: DataFrame, planes: np.ndarray, bands: int, rows_per_band: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", proj_round: int = 6,
+) -> DataFrame:
+    """(vec_id, band_id, band_key): banded random-hyperplane sign keys.
+
+    Plane ``b*rows_per_band + r`` contributes bit ``r`` of band ``b``'s
+    key — the MinHash-banding layout (SURVEY §2.B B6/B7) applied to dense
+    vectors. Projections are rounded to ``proj_round`` decimals before the
+    sign test so an independent engine computing the same dots (DuckDB
+    oracle, ~1e-15 relative difference) buckets identically. All JVM-side:
+    per row, ``bands*rows_per_band`` literal dot products inside
+    whole-stage codegen, then one explode of the per-band key array.
+    """
+    assert planes.shape[0] == bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            p = planes[b * rows_per_band + r]
+            proj = F.round(
+                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])),
+                proj_round,
+            )
+            key = key + F.when(proj >= 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            ).cast("long")
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
+        )
+    from ..functions.plan_safe import explode_once
+
+    return explode_once(
+        vectors, F.array(*band_cols), "bk", keep=[id_col]
+    ).select(id_col, F.col("bk.band_id"), F.col("bk.band_key"))
+
+
+def cosine_near_duplicates_banded(
+    vectors: DataFrame, threshold: float = 0.95,
+    planes: np.ndarray | None = None, dim: int | None = None,
+    bands: int = 4, rows_per_band: int = 2, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_scale: int = 6, proj_round: int = 6,
+) -> DataFrame:
+    """(a, b, cosine) near-dup pairs via banded RHP LSH — the 100-TB path.
+
+    Candidates are pairs colliding in >=1 of ``bands`` sign-bands (OR over
+    bands keeps recall where a single wide bucket loses it: collision
+    probability is 1-(1-(1-θ/π)^r)^b). The per-band equi-join on
+    (band_id, band_key) hash-partitions like any LSH band join — the
+    quadratic candidate space never materializes; pairs are deduped across
+    bands BEFORE the (expensive) cosine scoring. Pass pinned ``planes``
+    for reproducible / oracle-checkable buckets, else they derive from
+    (dim, bands*rows_per_band, seed).
+    """
+    if planes is None:
+        assert dim is not None
+        planes = np.asarray(_planes(dim, bands * rows_per_band, seed))
+    keys = rhp_band_keys(
+        vectors, planes, bands, rows_per_band, id_col, vec_col, proj_round
+    )
+    cand = (
+        keys.alias("l")
+        .join(
+            keys.alias("r"),
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a", "b",
+            F.round(
+                cosine_expr(F.col("_va"), F.col("_vb")), round_scale
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def kmeans_centroids(

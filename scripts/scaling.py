@@ -182,7 +182,7 @@ actions), bucket-size log2 histogram, cap counters, CC rounds.
   on both sides — dup-pair recall 1.000000, precision 1.000000, all
   400,000 cluster assignments identical (target >= 0.99; parity by
   shared kernels);
-- 28 of 33 driver queries verified against DuckDB oracle SQL
+- 29 of 34 driver queries verified against DuckDB oracle SQL
   (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
   are rows-only by design), including four TPC-H-shape relational
   queries (decimal-exact sums) and df-capped production twins of the

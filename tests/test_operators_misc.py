@@ -85,6 +85,48 @@ def test_rhp_bucket_collision_property(spark):
     assert len([p for p in found if p[0] < 30 and p[1] < 30]) >= 0.95 * n_base_pairs
 
 
+def test_banded_rhp_near_dups_recall_and_subset(spark):
+    # banded RHP (OR over bands) must beat the single-bucket path's recall
+    # on a planted near-dup cluster, and its output must be a subset of
+    # the exact brute-force pairs at the same threshold.
+    from fastcdc_rs_spark.operators.knn import cosine_near_duplicates_banded
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal(64).astype(np.float32)
+    rows = []
+    for i in range(20):
+        noise = rng.standard_normal(64).astype(np.float32) * 0.05
+        rows.append((i, [float(x) for x in base + noise]))
+    for i in range(20, 80):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r.a, r.b)
+        for r in cosine_near_duplicates(vecs, threshold=0.9).collect()
+    }
+    banded = {
+        (r.a, r.b)
+        for r in cosine_near_duplicates_banded(
+            vecs, threshold=0.9, dim=64, bands=4, rows_per_band=2, seed=3
+        ).collect()
+    }
+    assert banded <= exact
+    assert len(banded) >= 0.95 * len(exact), (len(banded), len(exact))
+
+    # plan: candidate generation is an equi-join on band keys, not a
+    # cartesian product
+    plan = (
+        cosine_near_duplicates_banded(
+            vecs, threshold=0.9, dim=64, bands=4, rows_per_band=2, seed=3
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_simhash_band_guarantee(spark):
     # Hamming distance <= 3 → at least one of 4 16-bit bands equal
     df = spark.createDataFrame(
