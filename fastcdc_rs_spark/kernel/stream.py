@@ -38,14 +38,32 @@ def stream_chunks(
     reader: BinaryIO,
     cfg: ChunkerConfig,
     buffer_size: int | None = None,
+    variant: str = "v2020",
 ) -> Iterator[tuple[int, int, int]]:
     """Yield ``(hash, offset, length)`` for a byte stream, using at most
     ``buffer_size`` buffered bytes (default ``8 * max_size``; clamped up
     to ``max_size`` — below that no cut decision could ever complete).
 
+    ``variant`` selects the cut kernel: ``"v2020"`` (default, batched
+    production path) or ``"v2016"`` — the v2016 StreamCDC twin
+    (src/v2016/mod.rs:481-628). Both kernels' cut decisions depend only
+    on (min, avg, max) and at most ``max_size`` window bytes, so the
+    same emission guard makes stream == memory for either.
+
     Offsets are absolute stream positions; hashes are u64 bit patterns as
     Python ints (same convention as ``chunk_bytes``).
     """
+    if variant == "v2020":
+        chunk_window = None  # batched kernel below
+    elif variant == "v2016":
+        from .v2016 import chunk_bytes_v2016
+
+        def chunk_window(arr):
+            return chunk_bytes_v2016(
+                arr, cfg.min_size, cfg.avg_size, cfg.max_size, cfg.level
+            )
+    else:
+        raise ValueError(f"unknown stream variant {variant!r}")
     buffer_size = max(buffer_size or 8 * cfg.max_size, cfg.max_size)
     buf = b""
     offset = 0
@@ -65,8 +83,15 @@ def stream_chunks(
         if not buf:
             return
         arr = np.frombuffer(buf, dtype=np.uint8)
-        counts, hashes, offs, lens = chunk_batch_columnar([arr], cfg)
-        n = int(counts[0])
+        if chunk_window is None:
+            counts, hashes, offs, lens = chunk_batch_columnar([arr], cfg)
+            n = int(counts[0])
+        else:
+            triples = chunk_window(arr)
+            hashes = [t[0] for t in triples]
+            offs = [t[1] for t in triples]
+            lens = [t[2] for t in triples]
+            n = len(triples)
         if eof:
             for i in range(n):
                 yield int(hashes[i]), offset + int(offs[i]), int(lens[i])

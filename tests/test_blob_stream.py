@@ -46,6 +46,20 @@ def test_stream_equals_memory_fixture_and_short_reads():
     assert got == expected
 
 
+@pytest.mark.parametrize("buffer_size", [None, 65535])
+def test_stream_equals_memory_v2016_variant(buffer_size):
+    # v2016 StreamCDC twin (src/v2016/mod.rs:481-628): same bounded-buffer
+    # machinery, v2016 cut kernel
+    from fastcdc_rs_spark.kernel.v2016 import chunk_bytes_v2016
+
+    data = FIXTURE.read_bytes()
+    expected = chunk_bytes_v2016(data, 4096, 16384, 65535)
+    got = list(stream_chunks(_DribbleReader(data), CFG, buffer_size, variant="v2016"))
+    assert got == expected
+    with pytest.raises(ValueError, match="variant"):
+        next(stream_chunks(io.BytesIO(b"x"), CFG, variant="v9999"))
+
+
 def test_stream_edge_cases():
     assert list(stream_chunks(io.BytesIO(b""), CFG)) == []
     small = b"x" * 100  # sub-min -> single chunk, hash 0
