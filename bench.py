@@ -65,7 +65,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from fastcdc_rs_spark.corpus import corpus_pandas
-    from fastcdc_rs_spark.operators.knn import cosine_near_duplicates
+    from fastcdc_rs_spark.operators.knn import cosine_near_duplicates_banded
     from fastcdc_rs_spark.pipeline import DedupConfig, near_dup_clusters
 
     # -------- warmup (not timed): spin up workers, fault numpy arenas
@@ -148,14 +148,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         release_all()  # drain operator-registered caches between queries
 
-    # embedding near-dups via the bucketed (scale) path
+    # embedding near-dups via the banded-RHP (scale) path
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     t0 = time.perf_counter()
     _noop_write(
-        cosine_near_duplicates(emb, threshold=0.8, dim=dim, n_planes=8)
+        cosine_near_duplicates_banded(
+            emb, threshold=0.8, dim=dim, bands=4, rows_per_band=2
+        )
     )
-    timings["embedding_near_dups_lsh"] = round(time.perf_counter() - t0, 3)
+    timings["embedding_near_dups_banded"] = round(time.perf_counter() - t0, 3)
 
     # flagship: synthetic CC-style corpus at realistic page sizes, with
     # the B14 pipeline metrics riding the run's own actions (Observation
