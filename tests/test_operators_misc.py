@@ -65,6 +65,67 @@ def test_multimodal_frame_sample(spark):
     assert len({r.frame_hash for r in frames}) == 1
 
 
+def test_multimodal_audio_features_real_wav(spark):
+    # REAL decode path: a stdlib-written 16-bit stereo WAV — no stub
+    import io as _io
+    import wave
+
+    from fastcdc_rs_spark.operators.multimodal import audio_features
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 second
+    left = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    right = np.zeros(sr, dtype="<i2")  # silent channel -> mono halves RMS
+    inter = np.empty(2 * sr, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(inter.tobytes())
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    row = audio_features(media, n_bands=4).first()
+    assert row.n_samples == sr and row.sample_rate == sr
+    # mono mean of (0.5 sine, silence) -> amplitude 0.25 -> RMS ~0.1768
+    assert abs(row.rms - 0.25 / np.sqrt(2)) < 1e-3
+    assert len(row.band_rms) == 4
+    # full-rate sine: every band has the same energy
+    assert max(row.band_rms) - min(row.band_rms) < 1e-3
+
+
+def test_multimodal_audio_stub_and_empty(spark):
+    from fastcdc_rs_spark.operators.multimodal import _decode_audio, audio_features
+
+    x, sr = _decode_audio(b"\x00\x40" * 100)  # raw PCM stub: 0x4000 = 0.5
+    assert sr == 16000 and x.size == 100 and abs(x[0] - 0.5) < 1e-4
+    with pytest.raises(ValueError, match="empty"):
+        _decode_audio(b"")
+    media = spark.createDataFrame(
+        [(7, bytearray(b"\x00\x40" * 64))], "media_id long, payload binary"
+    )
+    row = audio_features(media, n_bands=2).first()
+    assert row.media_id == 7 and abs(row.rms - 0.5) < 1e-3
+
+
+def test_multimodal_image_resize(spark):
+    from fastcdc_rs_spark.operators.multimodal import image_resize
+
+    payload = bytes(range(256)) * 4
+    media = spark.createDataFrame(
+        [(3, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = image_resize(media, height=4, width=6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.height, r.width, len(r.pixels)) == (4, 6, 4 * 6 * 3)
+    # deterministic: same payload -> same pixels
+    again = image_resize(media, height=4, width=6).first()
+    assert bytes(r.pixels) == bytes(again.pixels)
+
+
 def test_rhp_bucket_collision_property(spark):
     rng = np.random.default_rng(9)
     base = rng.standard_normal(64).astype(np.float32)
