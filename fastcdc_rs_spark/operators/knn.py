@@ -113,30 +113,39 @@ def rhp_band_keys(
     key — the MinHash-banding layout (SURVEY §2.B B6/B7) applied to dense
     vectors. Projections are rounded to ``proj_round`` decimals before the
     sign test so an independent engine computing the same dots (DuckDB
-    oracle, ~1e-15 relative difference) buckets identically. All JVM-side:
-    per row, ``bands*rows_per_band`` literal dot products inside
-    whole-stage codegen, then one explode of the per-band key array.
+    oracle, ~1e-15 relative difference) buckets identically.
+
+    The whole computation is ONE SQL expression (planes embedded as a
+    literal array-of-arrays, loops as higher-order functions) — a single
+    ``F.expr`` call, so driver-side plan construction stays O(string
+    length) no matter how many planes; a py4j ``F.lit``-per-element build
+    at 80 planes x 64 dims costs seconds before any data moves. Per row:
+    bands*rows_per_band dot products, JVM-side, then one explode of the
+    per-band key array.
     """
     assert planes.shape[0] == bands * rows_per_band
-    band_cols = []
-    for b in range(bands):
-        key = F.lit(0).cast("long")
-        for r in range(rows_per_band):
-            p = planes[b * rows_per_band + r]
-            proj = F.round(
-                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])),
-                proj_round,
-            )
-            key = key + F.when(proj >= 0, F.lit(1 << r)).otherwise(
-                F.lit(0)
-            ).cast("long")
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
-        )
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+        for p in planes
+    ) + ")"
+    keys_sql = f"""
+      transform(sequence(0, {bands - 1}), b ->
+        named_struct('band_id', b, 'band_key',
+          aggregate(sequence(0, {rows_per_band - 1}), CAST(0 AS BIGINT),
+            (acc, r) -> acc + IF(
+              round(
+                aggregate(
+                  zip_with({vec_col},
+                           element_at({planes_sql}, b * {rows_per_band} + r + 1),
+                           (x, y) -> CAST(x AS DOUBLE) * y),
+                  CAST(0.0 AS DOUBLE), (s, v) -> s + v),
+                {proj_round}) >= 0,
+              shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT)))))
+    """
     from ..functions.plan_safe import explode_once
 
     return explode_once(
-        vectors, F.array(*band_cols), "bk", keep=[id_col]
+        vectors, F.expr(keys_sql), "bk", keep=[id_col]
     ).select(id_col, F.col("bk.band_id"), F.col("bk.band_key"))
 
 
@@ -164,6 +173,13 @@ def cosine_near_duplicates_banded(
     keys = rhp_band_keys(
         vectors, planes, bands, rows_per_band, id_col, vec_col, proj_round
     )
+    # materialize before the self-join: otherwise BOTH join sides carry the
+    # full bands*rows*dim literal projection tree and Catalyst/codegen time
+    # on the doubled expression dwarfs the actual compute (and at scale the
+    # projections would be evaluated twice per vector)
+    from ..cache import register_cache
+
+    keys = register_cache(keys.persist())
     cand = (
         keys.alias("l")
         .join(
