@@ -255,14 +255,23 @@ def _centroid_dots(vec_col: str, centroids: np.ndarray) -> Column:
     argmax/top-n over these values with a deterministic index tiebreak,
     and rounding makes the selection reproducible across engines (the
     DuckDB oracle computes the same dots from its own normalization —
-    equal to ~1e-15 relative, identical after rounding)."""
-    return F.array(
-        *[
-            F.round(
-                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])), 6
-            )
-            for c in centroids
-        ]
+    equal to ~1e-15 relative, identical after rounding).
+
+    Built as ONE SQL expression (centroids as a literal array-of-arrays,
+    the per-centroid dot as a transform/aggregate HOF) so driver-side
+    plan construction stays O(string length) — an F.lit-per-element build
+    costs ~1 s per 1k literals via py4j and the IVF query needs this
+    twice (list assignment + probe selection); at cluster scale n_lists
+    is 2^14+, where the literal-tree build would dominate."""
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for c in centroids
+    ) + ")"
+    return F.expr(
+        f"""transform({cents_sql}, c ->
+              round(aggregate(zip_with({vec_col}, c,
+                                       (x, y) -> CAST(x AS DOUBLE) * y),
+                              CAST(0.0 AS DOUBLE), (s, v) -> s + v), 6))"""
     )
 
 
