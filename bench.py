@@ -161,6 +161,7 @@ def main() -> None:
         )
     )
     timings["embedding_near_dups_banded"] = round(time.perf_counter() - t0, 3)
+    release_all()  # banded keys register a persisted frame
 
     # flagship: synthetic CC-style corpus at realistic page sizes, with
     # the B14 pipeline metrics riding the run's own actions (Observation
