@@ -111,3 +111,41 @@ int64_t fcdc_chunk_batch(const uint8_t *data, const int64_t *offs,
     }
     return total;
 }
+
+/* MinHash signature kernel — the hot inner loop of the signature stage
+ * (kernel/signatures.py minhash_batch; same splitmix64-xor-seed family,
+ * bit-identical to the numpy path, parity-pinned in
+ * tests/test_kernel_native.py).  Doc d's shingle set is
+ * flat[offs[d] .. offs[d]+counts[d]); sigs is n_docs x n_perms,
+ * pre-filled by the caller with the empty-doc sentinel (0xFF..FF), and
+ * sigs[d][p] = min over shingles x of splitmix64(x ^ seeds[p]). */
+static inline uint64_t fcdc_sm64(uint64_t x)
+{
+    uint64_t z = x + 0x9E3779B97F4A7C15ULL;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+void fcdc_minhash(const uint64_t *flat, const int64_t *offs,
+                  const int64_t *counts, int64_t n_docs,
+                  const uint64_t *seeds, int64_t n_perms, uint64_t *sigs)
+{
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t cnt = counts[d];
+        if (cnt == 0)
+            continue; /* keep the caller's empty sentinel */
+        const uint64_t *x = flat + offs[d];
+        uint64_t *sig = sigs + d * n_perms;
+        for (int64_t p = 0; p < n_perms; p++) {
+            uint64_t s = seeds[p];
+            uint64_t m = UINT64_MAX;
+            for (int64_t i = 0; i < cnt; i++) {
+                uint64_t z = fcdc_sm64(x[i] ^ s);
+                if (z < m)
+                    m = z;
+            }
+            sig[p] = m;
+        }
+    }
+}

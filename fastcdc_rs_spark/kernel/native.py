@@ -23,7 +23,7 @@ import numpy as np
 
 from .fastcdc import ChunkerConfig
 
-__all__ = ["available", "chunk_batch_columnar_native"]
+__all__ = ["available", "chunk_batch_columnar_native", "minhash_batch_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "_native.c")
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".native_cache")
@@ -95,6 +95,17 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,  # out_off, out_len (int64[cap])
         ctypes.c_int64,                   # cap
     ]
+    mh = lib.fcdc_minhash
+    mh.restype = None
+    mh.argtypes = [
+        ctypes.c_void_p,  # flat shingle hashes (uint64)
+        ctypes.c_void_p,  # offs (int64[n_docs])
+        ctypes.c_void_p,  # counts (int64[n_docs])
+        ctypes.c_int64,   # n_docs
+        ctypes.c_void_p,  # seeds (uint64[n_perms])
+        ctypes.c_int64,   # n_perms
+        ctypes.c_void_p,  # sigs out (uint64[n_docs * n_perms])
+    ]
     _lib = lib
     return _lib
 
@@ -139,3 +150,23 @@ def chunk_batch_columnar_native(
     )
     assert total >= 0, "native kernel chunk cap exceeded (impossible bound)"
     return counts, out_hash[:total].copy(), out_off[:total].copy(), out_len[:total].copy()
+
+
+def minhash_batch_native(
+    flat: np.ndarray, offsets: np.ndarray, counts: np.ndarray,
+    seeds: np.ndarray, sigs: np.ndarray
+) -> None:
+    """Fill ``sigs`` (n_docs x n_perms uint64, pre-filled with the
+    empty-doc sentinel) in place; bit-identical to the numpy blocked path
+    in ``signatures.minhash_batch`` (parity-pinned)."""
+    lib = _load()
+    assert lib is not None, "native kernel unavailable"
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint64)
+    assert sigs.flags["C_CONTIGUOUS"] and sigs.dtype == np.uint64
+    lib.fcdc_minhash(
+        flat.ctypes.data, offsets.ctypes.data, counts.ctypes.data,
+        len(counts), seeds.ctypes.data, sigs.shape[1], sigs.ctypes.data,
+    )

@@ -72,16 +72,27 @@ def minhash_batch(
     flat, offsets, counts = _concat(hash_lists)
     if flat.size == 0:
         return sigs
+    seeds = perm_seeds(n_perms, seed)
+    from . import native
+
+    if native.available():  # production path; numpy below is the fallback
+        native.minhash_batch_native(flat, offsets, counts, seeds, sigs)
+        return sigs
+    _minhash_numpy(flat, offsets, counts, seeds, sigs, block)
+    return sigs
+
+
+def _minhash_numpy(flat, offsets, counts, seeds, sigs, block=16) -> None:
+    """Blocked numpy fallback (bit-identical to the C path; the native
+    parity suite compares the two directly)."""
     nonempty = counts > 0
     red_offsets = offsets[nonempty]
-    seeds = perm_seeds(n_perms, seed)
-    for p0 in range(0, n_perms, block):
+    for p0 in range(0, seeds.size, block):
         s = seeds[p0:p0 + block]
         # (n_total, block): permuted hash values
         hp = splitmix64(flat[:, None] ^ s[None, :])
         mins = np.minimum.reduceat(hp, red_offsets, axis=0)
         sigs[nonempty, p0:p0 + s.size] = mins
-    return sigs
 
 
 def kgram_shingles(hash_lists: list[np.ndarray], k: int = 3) -> list[np.ndarray]:
@@ -96,7 +107,7 @@ def kgram_shingles(hash_lists: list[np.ndarray], k: int = 3) -> list[np.ndarray]
     """
     flat, offsets, counts = _concat(hash_lists)
     n = flat.size
-    out: list[np.ndarray] = []
+    n_docs = len(hash_lists)
     if n == 0:
         return [np.array([], dtype=np.uint64) for _ in hash_lists]
     m = n - k + 1
@@ -106,16 +117,34 @@ def kgram_shingles(hash_lists: list[np.ndarray], k: int = 3) -> list[np.ndarray]
             acc = splitmix64(acc ^ flat[j:j + m])
     else:
         acc = np.array([], dtype=np.uint64)
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        if cnt == 0:
-            out.append(np.array([], dtype=np.uint64))
-        elif cnt < k:
-            x = np.zeros(1, dtype=np.uint64)
-            for j in range(int(cnt)):
-                x = splitmix64(x ^ flat[off + j:off + j + 1])
-            out.append(x)
-        else:
-            out.append(np.unique(acc[off:off + cnt - k + 1]))
+    # Vectorized per-doc dedup: one lexsort over (doc_id, value) + a keep
+    # mask replaces a per-doc ``np.unique`` Python loop (the loop costs
+    # ~5 µs/doc — the dominant term at 100k docs/batch). Output values
+    # per doc are sorted ascending, exactly like ``np.unique``.
+    seg = np.where(counts >= k, counts - (k - 1), 0)
+    total = int(seg.sum())
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), seg)
+    starts = np.cumsum(seg) - seg
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(starts, seg)
+        + np.repeat(offsets, seg)
+    )
+    vals = acc[pos]
+    order = np.lexsort((vals, doc_ids))
+    dv, vv = doc_ids[order], vals[order]
+    keep = np.ones(dv.size, dtype=bool)
+    keep[1:] = (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])
+    dv, vv = dv[keep], vv[keep]
+    uniq_counts = np.bincount(dv, minlength=n_docs)
+    out = np.split(vv, np.cumsum(uniq_counts[:-1]))
+    # rare path: 0 < cnt < k docs fold their whole (short) sequence
+    for d in np.nonzero((counts > 0) & (counts < k))[0]:
+        off = offsets[d]
+        x = np.zeros(1, dtype=np.uint64)
+        for j in range(int(counts[d])):
+            x = splitmix64(x ^ flat[off + j:off + j + 1])
+        out[d] = x
     return out
 
 

@@ -68,6 +68,34 @@ def test_native_fixture_golden():
     assert offs.tolist() == [0, 21325, 38465, 66549, 84766]
 
 
+def test_native_minhash_matches_numpy():
+    from fastcdc_rs_spark.kernel.signatures import (
+        _EMPTY_SIG,
+        _concat,
+        _minhash_numpy,
+        perm_seeds,
+    )
+
+    rng = np.random.default_rng(23)
+    hash_lists = [
+        np.array([], dtype=np.uint64),
+        rng.integers(0, 2**63, 1, dtype=np.uint64),
+        rng.integers(0, 2**63, 9, dtype=np.uint64),
+        np.array([0, 2**64 - 1, 1], dtype=np.uint64),  # extremes
+        rng.integers(0, 2**63, 500, dtype=np.uint64),
+    ]
+    for n_perms, seed in ((128, 1), (64, 7), (3, 0)):
+        flat, offsets, counts = _concat(hash_lists)
+        seeds = perm_seeds(n_perms, seed)
+        want = np.full((len(hash_lists), n_perms), _EMPTY_SIG, dtype=np.uint64)
+        _minhash_numpy(flat, offsets, counts, seeds, want)
+        got = np.full((len(hash_lists), n_perms), _EMPTY_SIG, dtype=np.uint64)
+        native.minhash_batch_native(flat, offsets, counts, seeds, got)
+        assert (got == want).all()
+    # empty doc rows keep the sentinel
+    assert (got[0] == _EMPTY_SIG).all()
+
+
 def test_native_empty_batch():
     counts, h, o, ln = native.chunk_batch_columnar_native(
         [], ChunkerConfig(64, 256, 1024)
