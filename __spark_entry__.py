@@ -230,6 +230,21 @@ def q_late_order_priority(spark, sf):
     ).orderBy("o_orderpriority")
 
 
+def q_customers_without_urgent_orders(spark, sf):
+    # NOT EXISTS / left-anti join (the complement of late_order_priority's
+    # semi join). Restricted to URGENT orders so the anti-set is non-empty
+    # (~14% of customers) — a value-bearing oracle comparison; every
+    # customer has SOME order in this data.
+    from fastcdc_rs_spark.operators.relational import customers_without_orders
+
+    orders = _tbl(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customers_without_orders(
+        _tbl(spark, sf, "customer"), orders
+    ).orderBy("c_custkey")
+
+
 def q_orders_rollup(spark, sf):
     # grouping sets: ROLLUP(year, priority) with decimal-exact sums
     from fastcdc_rs_spark.operators.relational import orders_rollup
@@ -550,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
         "late_order_priority": q_late_order_priority,
+        "customers_without_urgent_orders": q_customers_without_urgent_orders,
         "orders_rollup": q_orders_rollup,
         "customer_balance_quartiles": q_customer_balance_quartiles,
         "embedding_topk": q_embedding_topk,
@@ -876,6 +892,16 @@ def oracle_sql() -> dict[str, str]:
             AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         )
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    sql["customers_without_urgent_orders"] = """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
     """
 
     sql["event_type_stats"] = """

@@ -36,6 +36,7 @@ __all__ = [
     "revenue_by_nation",
     "top_customers_per_nation",
     "late_order_priority",
+    "customers_without_orders",
     "orders_rollup",
     "customer_balance_quartiles",
 ]
@@ -235,3 +236,18 @@ def late_order_priority(
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_late_orders")
     )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """NOT EXISTS (left-anti join): customers that never placed an order.
+
+    The complement of ``late_order_priority``'s semi join — together they
+    cover both EXISTS shapes. The anti join hash-partitions on custkey
+    like any equi-join; the orders side is pruned to the single join key
+    column at the scan, so at fact-table scale the shuffled payload is
+    just keys."""
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_acctbal")

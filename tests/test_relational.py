@@ -85,6 +85,30 @@ def test_late_order_priority_semi_join(spark):
     assert 0 < n_late <= total  # semi-join counts orders at most once
 
 
+def test_customers_without_orders_anti_join(spark):
+    from fastcdc_rs_spark.operators.relational import customers_without_orders
+
+    out = customers_without_orders(_t(spark, "customer"), _t(spark, "orders"))
+    rows = out.collect()
+    custs_with = {
+        r[0] for r in _t(spark, "orders").select("o_custkey").distinct().collect()
+    }
+    got = {r.c_custkey for r in rows}
+    assert got.isdisjoint(custs_with)
+    assert len(got) + len(custs_with) == _t(spark, "customer").count()
+    # plan: the orders side is pruned to the join key at the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+    # value-bearing variant (the driver query): restricting the orders
+    # side makes the anti-set non-empty
+    import pyspark.sql.functions as F
+
+    urgent = _t(spark, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    some = customers_without_orders(_t(spark, "customer"), urgent)
+    assert some.count() > 0
+
+
 def test_plan_pricing_summary_pushdown(spark):
     df = pricing_summary(_t(spark, "lineitem"))
     plan = assert_pushed_filter(df, "LessThanOrEqual(l_shipdate")
