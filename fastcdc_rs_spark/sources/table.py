@@ -68,7 +68,11 @@ class ParquetSnapshotCatalog:
 
     def _append_commit(self, table: str, entry: dict) -> None:
         log = self._read_log(table)
-        entry["snapshot_id"] = len(log) + 1
+        # max+1, not len+1: expire_snapshots may truncate the log head and
+        # ids must never be reused
+        entry["snapshot_id"] = (
+            max(e["snapshot_id"] for e in log) + 1 if log else 1
+        )
         entry["committed_at"] = time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
         )
@@ -163,22 +167,39 @@ class ParquetSnapshotCatalog:
         return entry
 
     # -- read paths -------------------------------------------------------
-    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
-        """Read the latest (or a time-travel) snapshot."""
+    def _entry(self, table: str, snapshot_id: int | None = None) -> dict:
         log = self._read_log(table)
         if not log:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
-        entry = log[-1] if snapshot_id is None else log[snapshot_id - 1]
+        if snapshot_id is None:
+            return log[-1]
+        # look up by recorded id, not list position — expire_snapshots may
+        # have truncated the head of the log
+        for e in log:
+            if e["snapshot_id"] == snapshot_id:
+                return e
+        raise FileNotFoundError(
+            f"table {table!r} has no snapshot {snapshot_id} (expired?)"
+        )
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the latest (or a time-travel) snapshot."""
+        entry = self._entry(table, snapshot_id)
         paths = entry["paths"]
         if "data" in paths and len(paths) == 1:
             return self.spark.read.parquet(paths["data"])
+        return self._read_partition_paths(paths, entry.get("partition_type"))
+
+    def _read_partition_paths(
+        self, paths: dict[str, str], ptype: str | None
+    ) -> DataFrame:
         # partitioned: reconstruct the partition column from the dir key
         # with its recorded type (basePath tricks don't apply across
         # snapshots — dirs live in different snap roots, exactly like
         # Iceberg data files)
         from urllib.parse import unquote
 
-        ptype = entry.get("partition_type") or "string"
+        ptype = ptype or "string"
         frames = []
         for key, path in sorted(paths.items()):
             col, _, raw = key.partition("=")
@@ -191,6 +212,56 @@ class ParquetSnapshotCatalog:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def read_changes(
+        self, table: str, from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan (Iceberg incremental-read analog): rows of
+        data files ADDED strictly after ``from_snapshot_id``, up to
+        ``to_snapshot_id`` (default: current). Under copy-on-write
+        overwrites a changed partition appears with its full new
+        contents; carried-forward (unchanged) partitions are skipped —
+        exactly the input an incremental consumer (e.g.
+        jobs/incremental_dedup_job.py) wants to process per tick.
+        """
+        base = self._entry(table, from_snapshot_id)
+        cur = self._entry(table, to_snapshot_id)
+        old = set(base["paths"].values())
+        added = {k: p for k, p in cur["paths"].items() if p not in old}
+        if not added:
+            return self.read(table, to_snapshot_id).limit(0)
+        if "data" in added:
+            return self.spark.read.parquet(added["data"])
+        return self._read_partition_paths(added, cur.get("partition_type"))
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+        """Retention maintenance (Iceberg ``expireSnapshots`` analog):
+        drop all but the last ``keep_last`` commits from the log and
+        delete data directories referenced ONLY by expired snapshots
+        (carried-forward dirs shared with survivors are kept). Returns
+        the expired snapshot ids."""
+        import shutil
+
+        log = self._read_log(table)
+        if len(log) <= keep_last:
+            return []
+        expired, kept = log[:-keep_last], log[-keep_last:]
+        live = {p for e in kept for p in e["paths"].values()}
+        removed_ids = []
+        for e in expired:
+            removed_ids.append(e["snapshot_id"])
+            for p in e["paths"].values():
+                if p not in live and os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    # drop now-empty data/ and snap-*/ parents
+                    for parent in (Path(p).parent, Path(p).parent.parent):
+                        if parent.is_dir() and not any(parent.iterdir()):
+                            parent.rmdir()
+        tmp = self._log_path(table).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(kept, indent=2))
+        os.replace(tmp, self._log_path(table))
+        return removed_ids
 
 
 class IcebergCatalog:
@@ -238,6 +309,25 @@ class IcebergCatalog:
             .load(f"{self._ident(table)}.snapshots")
             .collect()
         ]
+
+    def read_changes(
+        self, table: str, from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        r = (
+            self.spark.read.format("iceberg")
+            .option("start-snapshot-id", from_snapshot_id)
+        )
+        if to_snapshot_id is not None:
+            r = r.option("end-snapshot-id", to_snapshot_id)
+        return r.load(self._ident(table))
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+        self.spark.sql(
+            f"CALL {self.namespace.split('.', 1)[0]}.system.expire_snapshots"
+            f"(table => '{self._ident(table)}', retain_last => {keep_last})"
+        )
+        return []
 
 
 def get_catalog(spark: SparkSession, root_or_namespace: str, kind: str = "parquet"):

@@ -85,6 +85,49 @@ def test_partition_values_with_special_chars_roundtrip(spark, tmp_path):
     assert got == [("a/b", 99), ("en US", 1), ("plain", 1), ("x=y", 1)]
 
 
+def test_read_changes_incremental_scan(spark, tmp_path):
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(p, f"v{p}") for p in range(4)], "p int, v string"
+    )
+    cat.write(base, "docs", partition_by="p")
+    patch = spark.createDataFrame([(2, "NEW"), (9, "ADDED")], "p int, v string")
+    cat.overwrite_partitions(patch, "docs", "p")
+
+    # changes since snapshot 1 = exactly the rewritten/new partitions
+    changed = _rows(cat.read_changes("docs", from_snapshot_id=1))
+    assert changed == [(2, "NEW"), (9, "ADDED")]
+    # no-op range -> empty frame with the right schema
+    empty = cat.read_changes("docs", from_snapshot_id=2)
+    assert empty.count() == 0 and set(empty.columns) == {"p", "v"}
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(p, f"v{p}") for p in range(3)], "p int, v string"
+    )
+    cat.write(base, "t", partition_by="p")
+    cat.overwrite_partitions(
+        spark.createDataFrame([(1, "B")], "p int, v string"), "t", "p"
+    )
+    cat.overwrite_partitions(
+        spark.createDataFrame([(2, "C")], "p int, v string"), "t", "p"
+    )
+    assert cat.expire_snapshots("t", keep_last=1) == [1, 2]
+    # current view unchanged; expired ids now unreadable; carried-forward
+    # dirs referenced by the survivor still exist
+    assert _rows(cat.read("t")) == [(0, "v0"), (1, "B"), (2, "C")]
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read("t", snapshot_id=1)
+    # ids keep increasing after expiry (no reuse)
+    cat.overwrite_partitions(
+        spark.createDataFrame([(0, "D")], "p int, v string"), "t", "p"
+    )
+    assert cat.snapshots("t")[-1]["snapshot_id"] == 4
+    assert _rows(cat.read("t")) == [(0, "D"), (1, "B"), (2, "C")]
+
+
 def test_iceberg_catalog_requires_config(spark):
     from fastcdc_rs_spark.sources.table import IcebergCatalog
 
