@@ -12,6 +12,7 @@
  */
 
 #include <stddef.h>
+#include <stdlib.h>
 #include <stdint.h>
 
 typedef struct {
@@ -148,4 +149,68 @@ void fcdc_minhash(const uint64_t *flat, const int64_t *offs,
             sig[p] = m;
         }
     }
+}
+
+/* k-gram shingle kernel — the remaining numpy hot spot of the signature
+ * stage (kernel/signatures.py kgram_shingles; bit-identical, parity-
+ * pinned).  Doc d's unit hashes are flat[offs[d] .. offs[d]+counts[d]);
+ * each k-gram folds as acc <- splitmix64(acc ^ h_j) over k consecutive
+ * units; docs with 0 < cnt < k emit one shingle folding the whole
+ * sequence.  Output per doc: ascending sorted UNIQUE shingles (matching
+ * numpy's np.unique), written back-to-back into `out`; out_counts[d] is
+ * the deduped count.  Caller sizes out with cap = sum(max(cnt-k+1, 1)).
+ * Returns total shingles written, or -1 if cap would be exceeded. */
+static int cmp_u64(const void *a, const void *b)
+{
+    uint64_t x = *(const uint64_t *)a, y = *(const uint64_t *)b;
+    return x < y ? -1 : (x > y ? 1 : 0);
+}
+
+int64_t fcdc_shingles(const uint64_t *flat, const int64_t *offs,
+                      const int64_t *counts, int64_t n_docs, int64_t k,
+                      uint64_t *out, int64_t *out_counts, int64_t cap)
+{
+    int64_t total = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t cnt = counts[d];
+        const uint64_t *x = flat + offs[d];
+        if (cnt == 0) {
+            out_counts[d] = 0;
+            continue;
+        }
+        int64_t m = cnt >= k ? cnt - k + 1 : 1;
+        int64_t fold = cnt >= k ? k : cnt;
+        if (total + m > cap)
+            return -1;
+        uint64_t *dst = out + total;
+        for (int64_t i = 0; i < m; i++) {
+            uint64_t acc = 0;
+            for (int64_t j = 0; j < fold; j++)
+                acc = fcdc_sm64(acc ^ x[i + j]);
+            dst[i] = acc;
+        }
+        if (m > 1) {
+            if (m <= 32) { /* typical chunk-mode sets are ~9 shingles */
+                for (int64_t i = 1; i < m; i++) {
+                    uint64_t v = dst[i];
+                    int64_t j = i - 1;
+                    while (j >= 0 && dst[j] > v) {
+                        dst[j + 1] = dst[j];
+                        j--;
+                    }
+                    dst[j + 1] = v;
+                }
+            } else {
+                qsort(dst, (size_t)m, sizeof(uint64_t), cmp_u64);
+            }
+            int64_t w = 1;
+            for (int64_t i = 1; i < m; i++)
+                if (dst[i] != dst[w - 1])
+                    dst[w++] = dst[i];
+            m = w;
+        }
+        out_counts[d] = m;
+        total += m;
+    }
+    return total;
 }

@@ -23,7 +23,12 @@ import numpy as np
 
 from .fastcdc import ChunkerConfig
 
-__all__ = ["available", "chunk_batch_columnar_native", "minhash_batch_native"]
+__all__ = [
+    "available",
+    "chunk_batch_columnar_native",
+    "minhash_batch_native",
+    "shingles_native",
+]
 
 _SRC = os.path.join(os.path.dirname(__file__), "_native.c")
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".native_cache")
@@ -94,6 +99,18 @@ def _load():
         ctypes.c_void_p,                  # out_hash (uint64[cap])
         ctypes.c_void_p, ctypes.c_void_p,  # out_off, out_len (int64[cap])
         ctypes.c_int64,                   # cap
+    ]
+    sh = lib.fcdc_shingles
+    sh.restype = ctypes.c_int64
+    sh.argtypes = [
+        ctypes.c_void_p,  # flat unit hashes (uint64)
+        ctypes.c_void_p,  # offs (int64[n_docs])
+        ctypes.c_void_p,  # counts (int64[n_docs])
+        ctypes.c_int64,   # n_docs
+        ctypes.c_int64,   # k
+        ctypes.c_void_p,  # out shingles (uint64[cap])
+        ctypes.c_void_p,  # out_counts (int64[n_docs])
+        ctypes.c_int64,   # cap
     ]
     mh = lib.fcdc_minhash
     mh.restype = None
@@ -170,3 +187,25 @@ def minhash_batch_native(
         flat.ctypes.data, offsets.ctypes.data, counts.ctypes.data,
         len(counts), seeds.ctypes.data, sigs.shape[1], sigs.ctypes.data,
     )
+
+
+def shingles_native(
+    flat: np.ndarray, offsets: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(shingles_flat, per_doc_counts): ascending sorted-unique k-gram
+    shingles per doc, back-to-back; bit-identical to the numpy path in
+    ``signatures.kgram_shingles`` (parity-pinned)."""
+    lib = _load()
+    assert lib is not None, "native kernel unavailable"
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    cap = int(np.maximum(counts - (k - 1), np.minimum(counts, 1)).sum())
+    out = np.empty(max(cap, 1), dtype=np.uint64)
+    out_counts = np.zeros(len(counts), dtype=np.int64)
+    total = lib.fcdc_shingles(
+        flat.ctypes.data, offsets.ctypes.data, counts.ctypes.data,
+        len(counts), k, out.ctypes.data, out_counts.ctypes.data, cap,
+    )
+    assert total >= 0, "native shingle cap exceeded (impossible bound)"
+    return out[:total], out_counts

@@ -110,6 +110,11 @@ def kgram_shingles(hash_lists: list[np.ndarray], k: int = 3) -> list[np.ndarray]
     n_docs = len(hash_lists)
     if n == 0:
         return [np.array([], dtype=np.uint64) for _ in hash_lists]
+    from . import native
+
+    if native.available():  # production path; numpy below is the fallback
+        out_flat, out_counts = native.shingles_native(flat, offsets, counts, k)
+        return np.split(out_flat, np.cumsum(out_counts[:-1]))
     m = n - k + 1
     if m > 0:
         acc = np.zeros(m, dtype=np.uint64)

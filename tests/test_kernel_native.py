@@ -96,6 +96,39 @@ def test_native_minhash_matches_numpy():
     assert (got[0] == _EMPTY_SIG).all()
 
 
+def test_native_shingles_match_numpy():
+    import os
+
+    from fastcdc_rs_spark.kernel import signatures
+
+    rng = np.random.default_rng(29)
+    hash_lists = [
+        np.array([], dtype=np.uint64),
+        rng.integers(0, 2**63, 1, dtype=np.uint64),   # cnt < k fold
+        rng.integers(0, 2**63, 2, dtype=np.uint64),   # cnt < k fold
+        rng.integers(0, 2**63, 9, dtype=np.uint64),
+        np.tile(rng.integers(0, 2**63, 3, dtype=np.uint64), 7),  # dups
+        rng.integers(0, 2**63, 500, dtype=np.uint64),  # qsort path
+    ]
+    for k in (1, 3, 5):
+        got = signatures.kgram_shingles(hash_lists, k)  # native path
+        # force the numpy fallback through the public function
+        orig = os.environ.get("SPARK_GRAFT_NATIVE")
+        try:
+            import fastcdc_rs_spark.kernel.native as native_mod
+
+            saved = (native_mod._lib, native_mod._tried)
+            native_mod._lib, native_mod._tried = None, True
+            want = signatures.kgram_shingles(hash_lists, k)
+        finally:
+            native_mod._lib, native_mod._tried = saved
+            if orig is not None:
+                os.environ["SPARK_GRAFT_NATIVE"] = orig
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.dtype == np.uint64 and (np.asarray(g) == np.asarray(w)).all(), k
+
+
 def test_native_empty_batch():
     counts, h, o, ln = native.chunk_batch_columnar_native(
         [], ChunkerConfig(64, 256, 1024)
