@@ -175,8 +175,8 @@ v2020, v2016, ronomon; native==numpy parity suite).
 
 | metric | round 1 | round 2 | driver |
 |---|---|---|---|
-| headline_queries_total | 77.4 s | 47.2-47.9 s (incl. new banded-RHP query) | native C kernel + explode double-eval fix + gram-table cache + cache hygiene |
-| pipeline_synthetic (100k docs) | 32.1 s (3114 docs/s) | 16.9-18.7 s (5361-5911 docs/s) | same |
+| headline_queries_total | 77.4 s | 41.5 s (incl. new banded-RHP query) | C chunk/minhash/shingle kernels + explode double-eval fix + expr-string literals + gram-table cache + cache hygiene |
+| pipeline_synthetic (100k docs) | 32.1 s (3114 docs/s) | 12.6 s (7920 docs/s) | same |
 | ngram_jaccard / substring_pairs | 8.7 s / 7.8 s | 5.1 s / 2.6 s (3.6/1.9 warm) | gram cache + parallel map side |
 | chunk+signature @8 cores | 37.3k docs/s (~90 MB/s) | 193.1k docs/s (~470 MB/s) | C chunk kernel + C MinHash kernel |
 | chunker kernel single-core | ~50-60 MB/s | ~1.25 GB/s | kernel/_native.c |
