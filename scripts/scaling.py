@@ -192,10 +192,10 @@ actions), bucket-size log2 histogram, cap counters, CC rounds.
 - Spark pipeline == single-node oracle bit-for-bit at the same
   shingle/signature/band config — verified at BENCH scale, not just test
   scale: 100,000-doc corpus, 32,270 verified pairs on both sides, and
-  (round 2, post-refactor) a 400,000-doc corpus, 130,576 verified pairs
-  on both sides — dup-pair recall 1.000000, precision 1.000000, all
-  400,000 cluster assignments identical (target >= 0.99; parity by
-  shared kernels);
+  (round 2, re-verified after the C chunk/minhash/shingle kernels
+  landed) a 400,000-doc corpus, 130,576 verified pairs on both sides —
+  dup-pair recall 1.000000, precision 1.000000, all 400,000 cluster
+  assignments identical (target >= 0.99; parity by shared kernels);
 - 30 of 35 driver queries verified against DuckDB oracle SQL
   (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
   are rows-only by design), including seven TPC-H-shape relational
