@@ -16,6 +16,11 @@ pairs) are therefore idempotent per batch id via overwrite-by-batch
 subdirectories — a retried micro-batch replaces its own output. Readers
 load the parent dir (Spark partition discovery exposes `batch`).
 
+Two drivers share the per-batch machinery (``_process_bands_batch``):
+``run_incremental_candidates`` (Structured Streaming file arrival) and
+``run_incremental_from_catalog`` (snapshot-diff reads via
+``catalog.read_changes`` — the Iceberg incremental-scan pattern).
+
 Env / args:
   INCDEDUP_SOURCE   streaming source dir (parquet docs, schema doc_id/text)
   INCDEDUP_WORK     work dir (band_index/, pairs/, checkpoint/)
@@ -36,7 +41,52 @@ from fastcdc_rs_spark.pipeline import DedupConfig
 from fastcdc_rs_spark.session import spark_session
 from fastcdc_rs_spark.streaming.dedup_stream import stream_band_keys
 
-__all__ = ["run_incremental_candidates"]
+__all__ = ["run_incremental_candidates", "run_incremental_from_catalog"]
+
+
+def _process_bands_batch(
+    batch_df: DataFrame, tag: str, index_path: str, pairs_path: str
+) -> None:
+    """One incremental unit of work, idempotent per ``tag``: append the
+    batch's band keys to the index (overwrite-by-tag subdir), emit
+    cross-era pairs (new docs ⋈ prior index keys) + within-batch pairs.
+    Shared by the streaming (tag = micro-batch id) and catalog-snapshot
+    (tag = snapshot range) drivers."""
+    batch_dir = os.path.join(index_path, f"batch={tag}")
+    batch_df.write.mode("overwrite").parquet(batch_dir)
+
+    new = batch_df.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+    prior_dirs = [
+        os.path.join(index_path, d)
+        for d in os.listdir(index_path)
+        if d.startswith("batch=") and d != f"batch={tag}"
+    ]
+    pair_frames = []
+    if prior_dirs:
+        idx = batch_df.sparkSession.read.parquet(*prior_dirs).select(
+            F.col("doc_id").alias("a"), "band_id", "band_hash"
+        )
+        pair_frames.append(
+            idx.join(new, ["band_id", "band_hash"])
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+            )
+        )
+    left = batch_df.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    pair_frames.append(
+        left.join(new, ["band_id", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    pairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        pairs = pairs.unionByName(f)
+    # idempotent under retries: overwrite-by-tag subdir mirrors the index
+    pairs.distinct().write.mode("overwrite").parquet(
+        os.path.join(pairs_path, f"batch={tag}")
+    )
 
 
 def run_incremental_candidates(
@@ -59,48 +109,7 @@ def run_incremental_candidates(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            # idempotent index append: one subdir per batch id
-            batch_dir = os.path.join(index_path, f"batch={batch_id}")
-            batch_df.write.mode("overwrite").parquet(batch_dir)
-
-            new = batch_df.select(
-                F.col("doc_id").alias("b"), "band_id", "band_hash"
-            )
-            # cross-era: new docs vs every PRIOR batch's keys
-            prior_dirs = [
-                os.path.join(index_path, d)
-                for d in os.listdir(index_path)
-                if d.startswith("batch=") and d != f"batch={batch_id}"
-            ]
-            pair_frames = []
-            if prior_dirs:
-                idx = batch_df.sparkSession.read.parquet(*prior_dirs).select(
-                    F.col("doc_id").alias("a"), "band_id", "band_hash"
-                )
-                pair_frames.append(
-                    idx.join(new, ["band_id", "band_hash"])
-                    .where(F.col("a") != F.col("b"))
-                    .select(
-                        F.least("a", "b").alias("a"),
-                        F.greatest("a", "b").alias("b"),
-                    )
-                )
-            # within-batch pairs
-            left = batch_df.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
-            pair_frames.append(
-                left.join(new, ["band_id", "band_hash"])
-                .where(F.col("a") < F.col("b"))
-                .select("a", "b")
-            )
-            pairs = pair_frames[0]
-            for f in pair_frames[1:]:
-                pairs = pairs.unionByName(f)
-            # idempotent under foreachBatch retries: one subdir per batch
-            # id with overwrite, mirroring the band-index layout (a retried
-            # batch replaces its own output instead of appending twice)
-            pairs.distinct().write.mode("overwrite").parquet(
-                os.path.join(pairs_path, f"batch={batch_id}")
-            )
+            _process_bands_batch(batch_df, str(batch_id), index_path, pairs_path)
         finally:
             batch_df.unpersist()
 
@@ -111,6 +120,61 @@ def run_incremental_candidates(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_from_catalog(
+    spark: SparkSession,
+    catalog,
+    table: str,
+    work_dir: str,
+    cfg: DedupConfig | None = None,
+) -> dict:
+    """Catalog-snapshot-driven incremental ingestion: process only the
+    rows added since the last processed snapshot (``catalog.read_changes``
+    — under COW overwrites that is exactly the rewritten/new partitions)
+    through the same band-index machinery as the streaming path.
+
+    State is the last processed snapshot id (``_snapshot_state.json`` in
+    ``work_dir``, written atomically AFTER the idempotent batch outputs),
+    so a crash before the state flip re-runs the same snapshot range into
+    the same overwrite-by-tag subdirs — exactly-once output. This is the
+    Iceberg incremental-scan consumption pattern at cluster scale.
+    """
+    import json
+
+    cfg = cfg or DedupConfig()
+    os.makedirs(work_dir, exist_ok=True)
+    index_path = os.path.join(work_dir, "band_index")
+    pairs_path = os.path.join(work_dir, "pairs")
+    state_path = os.path.join(work_dir, "_snapshot_state.json")
+
+    last = None
+    if os.path.exists(state_path):
+        last = json.load(open(state_path))["snapshot_id"]
+    snaps = catalog.snapshots(table)
+    if not snaps:
+        return {"processed_snapshots": 0, "docs": 0}
+    cur = snaps[-1]["snapshot_id"]
+    if last == cur:
+        return {"processed_snapshots": 0, "docs": 0, "snapshot_id": cur}
+    docs = (
+        catalog.read(table)
+        if last is None
+        else catalog.read_changes(table, last, cur)
+    )
+    bands = stream_band_keys(docs, cfg).persist()
+    try:
+        n_docs = bands.select("doc_id").distinct().count()
+        _process_bands_batch(
+            bands, f"snap_{cur}", index_path, pairs_path
+        )
+    finally:
+        bands.unpersist()
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": cur}, f)
+    os.replace(tmp, state_path)
+    return {"processed_snapshots": 1, "docs": n_docs, "snapshot_id": cur}
 
 
 def main() -> int:

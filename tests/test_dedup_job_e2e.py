@@ -44,3 +44,54 @@ def test_dedup_job_runs_and_resumes(spark, tmp_path):
         DedupConfig(threshold=0.7),
     )
     assert all(e["action"] == "computed" for e in s3["stages"])
+
+
+def test_incremental_from_catalog_snapshot_diff(spark, tmp_path):
+    import numpy as np
+
+    from incremental_dedup_job import run_incremental_from_catalog
+
+    from fastcdc_rs_spark.sources.table import ParquetSnapshotCatalog
+
+    rng = np.random.default_rng(31)
+
+    def _text(seed):
+        r = np.random.default_rng(seed)
+        return " ".join(
+            "".join(chr(97 + c) for c in r.integers(0, 26, 8)) for _ in range(120)
+        )
+
+    T, U = _text(1), _text(2)
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    work = str(tmp_path / "work")
+    era1 = spark.createDataFrame(
+        [(1, T, 0), (2, T, 0), (3, U, 1)], "doc_id long, text string, shard int"
+    )
+    cat.write(era1, "docs", partition_by="shard")
+
+    s1 = run_incremental_from_catalog(spark, cat, "docs", work)
+    assert s1 == {"processed_snapshots": 1, "docs": 3, "snapshot_id": 1}
+    pairs1 = {
+        (r.a, r.b)
+        for r in spark.read.parquet(f"{work}/pairs").select("a", "b").collect()
+    }
+    assert pairs1 == {(1, 2)}  # within-era duplicate
+
+    # no new snapshot -> no-op
+    assert run_incremental_from_catalog(spark, cat, "docs", work)[
+        "processed_snapshots"
+    ] == 0
+
+    # era 2: shard 1 rewritten with a new near-dup of T -> only the
+    # changed partition is processed; cross-era pairs hit the index
+    era2 = spark.createDataFrame(
+        [(4, T, 1)], "doc_id long, text string, shard int"
+    )
+    cat.overwrite_partitions(era2, "docs", "shard")
+    s2 = run_incremental_from_catalog(spark, cat, "docs", work)
+    assert s2 == {"processed_snapshots": 1, "docs": 1, "snapshot_id": 2}
+    pairs2 = {
+        (r.a, r.b)
+        for r in spark.read.parquet(f"{work}/pairs").select("a", "b").collect()
+    }
+    assert pairs2 == {(1, 2), (1, 4), (2, 4)}
