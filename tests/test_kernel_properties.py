@@ -109,3 +109,55 @@ def test_edit_locality(seed, n):
         diff = (set(a) ^ set(b)) - tail_a
         for _, off, ln in diff:
             assert off + ln > pos - cfg.max_size and off < q
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n_docs=st.integers(0, 12),
+    k=st.integers(1, 6),
+    n_perms=st.sampled_from([3, 32, 128]),
+    mh_seed=st.integers(0, 2**31),
+)
+def test_native_signature_kernels_match_numpy(seed, n_docs, k, n_perms, mh_seed):
+    # C fcdc_shingles / fcdc_minhash must agree with the numpy fallbacks
+    # for arbitrary unit-hash sets (incl. empty docs, dups, cnt < k)
+    from fastcdc_rs_spark.kernel import native
+    from fastcdc_rs_spark.kernel import signatures as S
+
+    if not native.available():
+        return
+    rng = np.random.default_rng(seed)
+    hash_lists = []
+    for _ in range(n_docs):
+        cnt = int(rng.integers(0, 40))
+        h = rng.integers(0, 2**63, cnt, dtype=np.uint64)
+        if cnt > 2 and rng.random() < 0.5:
+            h[: cnt // 2] = h[0]  # force duplicates
+        hash_lists.append(h)
+
+    got_sh = S.kgram_shingles(hash_lists, k)  # native
+    flat, offsets, counts = S._concat(hash_lists)
+    want_sh: list[np.ndarray] = []
+    if flat.size:
+        # numpy path re-derived via the module's own fallback logic
+        saved = (native._lib, native._tried)
+        try:
+            native._lib, native._tried = None, True
+            want_sh = S.kgram_shingles(hash_lists, k)
+        finally:
+            native._lib, native._tried = saved
+    else:
+        want_sh = [np.array([], dtype=np.uint64) for _ in hash_lists]
+    assert len(got_sh) == len(want_sh)
+    for g, w in zip(got_sh, want_sh):
+        assert (np.asarray(g) == np.asarray(w)).all()
+
+    got_mh = S.minhash_batch(hash_lists, n_perms=n_perms, seed=mh_seed)
+    saved = (native._lib, native._tried)
+    try:
+        native._lib, native._tried = None, True
+        want_mh = S.minhash_batch(hash_lists, n_perms=n_perms, seed=mh_seed)
+    finally:
+        native._lib, native._tried = saved
+    assert (got_mh == want_mh).all()
