@@ -1,7 +1,12 @@
 #!/usr/bin/env bash
 # Example cluster deployment (north rule: spark-submit --py-files on a
-# multi-executor cluster). The package is pure Python + numpy — no native
-# builds on executors.
+# multi-executor cluster). The package is pure Python + numpy; the C scan/
+# MinHash/shingle kernels compile on first use per executor (system cc,
+# sha256-keyed cache) and fall back to the bit-identical numpy paths when
+# no compiler is present — no build step in the artifact.
+# Smoke-verified locally: zip + `spark-submit --master local[8]
+# --py-files /tmp/fastcdc_rs_spark.zip jobs/dedup_job.py` runs the full
+# pipeline from outside the repo checkout.
 #
 # Build the artifact:
 #   cd /root/repo && zip -r /tmp/fastcdc_rs_spark.zip fastcdc_rs_spark
