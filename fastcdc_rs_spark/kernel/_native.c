@@ -214,3 +214,31 @@ int64_t fcdc_shingles(const uint64_t *flat, const int64_t *offs,
     }
     return total;
 }
+
+/* SimHash kernel — 64-bit bit-majority over splitmix64'd feature hashes
+ * (kernel/signatures.py simhash_batch; bit-identical, parity-pinned).
+ * Ties (bit sum exactly half) resolve to 0; empty docs hash to 0. */
+void fcdc_simhash(const uint64_t *flat, const int64_t *offs,
+                  const int64_t *counts, int64_t n_docs, uint64_t seed,
+                  uint64_t *out)
+{
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t cnt = counts[d];
+        if (cnt == 0) {
+            out[d] = 0;
+            continue;
+        }
+        const uint64_t *x = flat + offs[d];
+        int64_t sums[64] = {0};
+        for (int64_t i = 0; i < cnt; i++) {
+            uint64_t h = fcdc_sm64(x[i] ^ seed);
+            for (int b = 0; b < 64; b++)
+                sums[b] += (int64_t)((h >> b) & 1u);
+        }
+        uint64_t v = 0;
+        for (int b = 0; b < 64; b++)
+            if (2 * sums[b] > cnt)
+                v |= (uint64_t)1 << b;
+        out[d] = v;
+    }
+}

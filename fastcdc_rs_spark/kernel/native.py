@@ -28,6 +28,7 @@ __all__ = [
     "chunk_batch_columnar_native",
     "minhash_batch_native",
     "shingles_native",
+    "simhash_batch_native",
 ]
 
 _SRC = os.path.join(os.path.dirname(__file__), "_native.c")
@@ -99,6 +100,16 @@ def _load():
         ctypes.c_void_p,                  # out_hash (uint64[cap])
         ctypes.c_void_p, ctypes.c_void_p,  # out_off, out_len (int64[cap])
         ctypes.c_int64,                   # cap
+    ]
+    sim = lib.fcdc_simhash
+    sim.restype = None
+    sim.argtypes = [
+        ctypes.c_void_p,  # flat feature hashes (uint64)
+        ctypes.c_void_p,  # offs (int64[n_docs])
+        ctypes.c_void_p,  # counts (int64[n_docs])
+        ctypes.c_int64,   # n_docs
+        ctypes.c_uint64,  # seed
+        ctypes.c_void_p,  # out (uint64[n_docs])
     ]
     sh = lib.fcdc_shingles
     sh.restype = ctypes.c_int64
@@ -209,3 +220,21 @@ def shingles_native(
     )
     assert total >= 0, "native shingle cap exceeded (impossible bound)"
     return out[:total], out_counts
+
+
+def simhash_batch_native(
+    flat: np.ndarray, offsets: np.ndarray, counts: np.ndarray, seed: int,
+    out: np.ndarray,
+) -> None:
+    """Fill ``out`` (uint64[n_docs]) in place with 64-bit SimHashes;
+    bit-identical to ``signatures.simhash_batch``'s numpy path."""
+    lib = _load()
+    assert lib is not None, "native kernel unavailable"
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint64
+    lib.fcdc_simhash(
+        flat.ctypes.data, offsets.ctypes.data, counts.ctypes.data,
+        len(counts), seed & 0xFFFFFFFFFFFFFFFF, out.ctypes.data,
+    )

@@ -197,6 +197,11 @@ def simhash_batch(hash_lists: list[np.ndarray], seed: int = 1) -> np.ndarray:
     flat, offsets, counts = _concat(hash_lists)
     if flat.size == 0:
         return out
+    from . import native
+
+    if native.available():  # production path; numpy below is the fallback
+        native.simhash_batch_native(flat, offsets, counts, seed, out)
+        return out
     h = splitmix64(flat ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
     # (n_total, 64) bit matrix in int16 — reduceat sums per doc
     shifts = np.arange(64, dtype=np.uint64)

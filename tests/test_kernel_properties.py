@@ -154,10 +154,13 @@ def test_native_signature_kernels_match_numpy(seed, n_docs, k, n_perms, mh_seed)
         assert (np.asarray(g) == np.asarray(w)).all()
 
     got_mh = S.minhash_batch(hash_lists, n_perms=n_perms, seed=mh_seed)
+    got_sim = S.simhash_batch(hash_lists, seed=mh_seed)
     saved = (native._lib, native._tried)
     try:
         native._lib, native._tried = None, True
         want_mh = S.minhash_batch(hash_lists, n_perms=n_perms, seed=mh_seed)
+        want_sim = S.simhash_batch(hash_lists, seed=mh_seed)
     finally:
         native._lib, native._tried = saved
     assert (got_mh == want_mh).all()
+    assert (got_sim == want_sim).all()
