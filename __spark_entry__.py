@@ -109,6 +109,21 @@ def q_langid(spark, sf):
     return langid_heuristic(_docs(spark, sf)).orderBy("doc_id")
 
 
+def q_corpus_keep_mask(spark, sf):
+    # C4-style cleaning decision: quality x language x exact-dup in one
+    # composed pass (operators/textstats.corpus_keep_mask)
+    from fastcdc_rs_spark.operators.textstats import corpus_keep_mask
+
+    return corpus_keep_mask(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_vocabulary_topk(spark, sf):
+    # wordcount-at-scale: token explode -> hash aggregate -> top-k window
+    from fastcdc_rs_spark.operators.textstats import vocabulary_topk
+
+    return vocabulary_topk(_docs(spark, sf), k=20).orderBy("rank")
+
+
 def q_token_ngrams(spark, sf):
     return token_ngrams(_docs(spark, sf), n=3).orderBy("doc_id", "ngram_hash")
 
@@ -552,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_stats": q_language_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
+        "corpus_keep_mask": q_corpus_keep_mask,
+        "vocabulary_topk": q_vocabulary_topk,
         "token_ngrams": q_token_ngrams,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -710,6 +727,45 @@ def oracle_sql() -> dict[str, str]:
                        ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 0.02
                THEN 'en' ELSE 'other' END AS lang_guess
         FROM documents ORDER BY doc_id
+    """
+
+    # C4-style keep mask: quality CTE (same body as quality_scores, minus
+    # its trailing ORDER BY) x rounded-stopword-density LID x exact-dup
+    quality_body = sql["quality_scores"].rsplit("ORDER BY", 1)[0]
+    sql["corpus_keep_mask"] = f"""
+        WITH q AS ({quality_body}),
+        hashed AS (SELECT doc_id, {h_text} AS text_hash FROM documents),
+        canon AS (SELECT text_hash, min(doc_id) AS canonical_id
+                  FROM hashed GROUP BY 1),
+        flags AS (SELECT h.doc_id, h.doc_id != c.canonical_id AS is_duplicate
+                  FROM hashed h JOIN canon c USING (text_hash))
+        SELECT q.doc_id, q.quality_score,
+               CASE WHEN q.stopword_ratio >= 0.02 THEN 'en' ELSE 'other' END
+                 AS lang_guess,
+               f.is_duplicate,
+               (q.quality_score >= 0.7 AND q.stopword_ratio >= 0.02
+                AND NOT f.is_duplicate) AS keep
+        FROM q JOIN flags f USING (doc_id) ORDER BY q.doc_id
+    """
+
+    sql["vocabulary_topk"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents
+        ),
+        agg AS (
+          SELECT token, count(DISTINCT doc_id) AS df, count(*) AS total
+          FROM toks WHERE token != '' GROUP BY token
+        ),
+        ranked AS (
+          SELECT token, df, total,
+                 row_number() OVER (ORDER BY df DESC, total DESC, token ASC)
+                   AS rank
+          FROM agg
+        )
+        SELECT token, df, total, rank FROM ranked WHERE rank <= 20
+        ORDER BY rank
     """
 
     sql["token_ngrams"] = f"""

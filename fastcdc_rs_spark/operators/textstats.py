@@ -26,6 +26,8 @@ __all__ = [
     "language_stats",
     "doc_fingerprint",
     "langid_heuristic",
+    "corpus_keep_mask",
+    "vocabulary_topk",
 ]
 
 # GPT-2-style pre-tokenizer (portable subset: works identically in Java
@@ -153,4 +155,63 @@ def langid_heuristic(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col),
         F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def corpus_keep_mask(docs: DataFrame, q_min: float = 0.7,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, quality_score, lang_guess, is_duplicate, keep): the
+    C4-style cleaning decision composed from this module's stages.
+
+    keep = quality >= ``q_min`` AND English by stopword density AND not an
+    exact duplicate. Quality and language come from ONE map pass over the
+    text (``quality_scores`` already carries the stopword density the LID
+    heuristic needs — the rounded ratio, so the decision is reproducible
+    across engines); the duplicate flag adds exact dedup's single
+    text-hash shuffle; the final join is a doc_id equi-join. At CC scale
+    this is one scan + two shuffles total for a full keep/drop pass.
+    """
+    from .dedup import dedup_flags
+
+    q = quality_scores(docs, text_col, id_col)
+    lang = F.when(F.col("stopword_ratio") >= 0.02, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+    qm = q.select(id_col, "quality_score", lang.alias("lang_guess"))
+    flags = dedup_flags(docs, text_col, id_col).select(id_col, "is_duplicate")
+    return qm.join(flags, id_col).select(
+        id_col,
+        "quality_score",
+        "lang_guess",
+        "is_duplicate",
+        (
+            (F.col("quality_score") >= q_min)
+            & (F.col("lang_guess") == "en")
+            & (~F.col("is_duplicate"))
+        ).alias("keep"),
+    )
+
+
+def vocabulary_topk(docs: DataFrame, k: int = 20,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(token, df, total, rank): corpus vocabulary by document frequency —
+    the wordcount-at-scale pattern. Explode + hash aggregate (map-side
+    partial combine shrinks the shuffle to distinct tokens per partition);
+    the global top-k window runs over the aggregated token frame, never
+    the exploded rows. Ties break (df desc, total desc, token asc) so the
+    ranking is deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    agg = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    w = Window.orderBy(F.desc("df"), F.desc("total"), F.asc("token"))
+    return agg.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
     )

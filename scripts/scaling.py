@@ -196,7 +196,7 @@ actions), bucket-size log2 histogram, cap counters, CC rounds.
   landed) a 400,000-doc corpus, 130,576 verified pairs on both sides —
   dup-pair recall 1.000000, precision 1.000000, all 400,000 cluster
   assignments identical (target >= 0.99; parity by shared kernels);
-- 30 of 35 driver queries verified against DuckDB oracle SQL
+- 32 of 37 driver queries verified against DuckDB oracle SQL
   (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
   are rows-only by design), including seven TPC-H-shape relational
   queries (decimal-exact sums) and df-capped production twins of the
