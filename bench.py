@@ -157,7 +157,8 @@ def main() -> None:
     # ~0.97 — the config the SQL-expr key builder makes affordable
     _noop_write(
         cosine_near_duplicates_banded(
-            emb, threshold=0.8, dim=dim, bands=8, rows_per_band=10
+            emb, threshold=0.8, dim=dim, bands=8, rows_per_band=10,
+            bucket_cap=64,
         )
     )
     timings["embedding_near_dups_banded"] = round(time.perf_counter() - t0, 3)

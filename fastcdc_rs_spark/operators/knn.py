@@ -153,6 +153,7 @@ def cosine_near_duplicates_banded(
     vectors: DataFrame, threshold: float = 0.95,
     planes: np.ndarray | None = None, dim: int | None = None,
     bands: int = 4, rows_per_band: int = 2, seed: int = 7,
+    bucket_cap: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_scale: int = 6, proj_round: int = 6,
 ) -> DataFrame:
@@ -166,6 +167,15 @@ def cosine_near_duplicates_banded(
     bands BEFORE the (expensive) cosine scoring. Pass pinned ``planes``
     for reproducible / oracle-checkable buckets, else they derive from
     (dim, bands*rows_per_band, seed).
+
+    ``bucket_cap``: buckets larger than the cap (duplicate-heavy or
+    degenerate sign patterns — the embedding analog of boilerplate LSH
+    bands) emit *star* pairs (each member vs the bucket minimum) instead
+    of all pairs, so join fan-out stays linear while the bucket's
+    connectivity survives for downstream clustering — the same skew
+    policy as the text pipeline's ``candidate_pairs``. ``None`` (default)
+    keeps exact all-pairs semantics for oracle twins; ALWAYS set a cap at
+    corpus scale.
     """
     if planes is None:
         assert dim is not None
@@ -180,21 +190,52 @@ def cosine_near_duplicates_banded(
     from ..cache import register_cache
 
     keys = register_cache(keys.persist())
-    cand = (
-        keys.alias("l")
-        .join(
-            keys.alias("r"),
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+    if bucket_cap is not None:
+        sizes = keys.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bucket_size"),
+            F.min(id_col).alias("_bucket_min"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        annotated = keys.join(sizes, ["band_id", "band_key"])
+        small = annotated.where(F.col("_bucket_size") <= bucket_cap)
+        cand_small = (
+            small.alias("l")
+            .join(
+                small.alias("r"),
+                on=[
+                    F.col("l.band_id") == F.col("r.band_id"),
+                    F.col("l.band_key") == F.col("r.band_key"),
+                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"),
+            )
         )
-        .distinct()
-    )
+        cand_star = (
+            annotated.where(F.col("_bucket_size") > bucket_cap)
+            .select(
+                F.col("_bucket_min").alias("a"), F.col(id_col).alias("b")
+            )
+            .where(F.col("a") < F.col("b"))
+        )
+        cand = cand_small.unionByName(cand_star).distinct()
+    else:
+        cand = (
+            keys.alias("l")
+            .join(
+                keys.alias("r"),
+                on=[
+                    F.col("l.band_id") == F.col("r.band_id"),
+                    F.col("l.band_key") == F.col("r.band_key"),
+                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+            )
+            .distinct()
+        )
     va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (

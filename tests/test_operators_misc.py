@@ -188,6 +188,38 @@ def test_banded_rhp_near_dups_recall_and_subset(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_banded_rhp_bucket_cap_star_pairs(spark):
+    # a duplicate-heavy bucket (20 identical vectors) degrades to star
+    # pairs under the cap: fan-out linear, connectivity preserved
+    from fastcdc_rs_spark.operators.knn import cosine_near_duplicates_banded
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal(64).astype(np.float32)
+    rows = [(i, [float(x) for x in base]) for i in range(20)]
+    rows += [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(20, 40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = {
+        (r.a, r.b)
+        for r in cosine_near_duplicates_banded(
+            vecs, threshold=0.99, dim=64, bands=4, rows_per_band=4,
+            seed=5, bucket_cap=8,
+        ).collect()
+    }
+    # star pairs only: every identical vector pairs with the minimum (0)
+    star = {(0, b) for b in range(1, 20)}
+    assert capped == star
+    # uncapped: full quadratic set within the duplicate cluster
+    exact = {
+        (r.a, r.b)
+        for r in cosine_near_duplicates_banded(
+            vecs, threshold=0.99, dim=64, bands=4, rows_per_band=4, seed=5
+        ).collect()
+    }
+    assert exact == {(a, b) for a in range(20) for b in range(a + 1, 20)}
+
+
 def test_simhash_band_guarantee(spark):
     # Hamming distance <= 3 → at least one of 4 16-bit bands equal
     df = spark.createDataFrame(
