@@ -718,13 +718,15 @@ def oracle_sql() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
 
+    from fastcdc_rs_spark.operators.textstats import EN_STOPWORD_DENSITY
+
     sql["langid"] = f"""
         SELECT doc_id,
           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
                      ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
                 AND len(regexp_extract_all(text, '{_STOP}'))::DOUBLE
                     / (CASE WHEN length(trim(text)) = 0 THEN 1
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 0.02
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END) >= {EN_STOPWORD_DENSITY}
                THEN 'en' ELSE 'other' END AS lang_guess
         FROM documents ORDER BY doc_id
     """
@@ -740,10 +742,11 @@ def oracle_sql() -> dict[str, str]:
         flags AS (SELECT h.doc_id, h.doc_id != c.canonical_id AS is_duplicate
                   FROM hashed h JOIN canon c USING (text_hash))
         SELECT q.doc_id, q.quality_score,
-               CASE WHEN q.stopword_ratio >= 0.02 THEN 'en' ELSE 'other' END
-                 AS lang_guess,
+               CASE WHEN q.stopword_ratio >= {EN_STOPWORD_DENSITY}
+                    THEN 'en' ELSE 'other' END AS lang_guess,
                f.is_duplicate,
-               (q.quality_score >= 0.7 AND q.stopword_ratio >= 0.02
+               (q.quality_score >= 0.7
+                AND q.stopword_ratio >= {EN_STOPWORD_DENSITY}
                 AND NOT f.is_duplicate) AS keep
         FROM q JOIN flags f USING (doc_id) ORDER BY q.doc_id
     """

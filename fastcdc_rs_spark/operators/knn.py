@@ -195,7 +195,11 @@ def cosine_near_duplicates_banded(
             F.count(F.lit(1)).alias("_bucket_size"),
             F.min(id_col).alias("_bucket_min"),
         )
-        annotated = keys.join(sizes, ["band_id", "band_key"])
+        # persist: consumed by both self-join sides AND the star branch —
+        # unpersisted, the bucket-size aggregation shuffle would run 3x
+        annotated = register_cache(
+            keys.join(sizes, ["band_id", "band_key"]).persist()
+        )
         small = annotated.where(F.col("_bucket_size") <= bucket_cap)
         cand_small = (
             small.alias("l")

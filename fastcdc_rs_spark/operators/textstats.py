@@ -43,6 +43,11 @@ BPE_SPLIT_PATTERN = (
 
 _STOPWORDS = ("the", "of", "and", "to", "in", "is", "for", "with", "on", "that")
 
+# English-by-stopword-density threshold shared by langid_heuristic,
+# corpus_keep_mask, and their DuckDB oracle twins (__spark_entry__.py
+# interpolates it) — tune it in ONE place.
+EN_STOPWORD_DENSITY = 0.02
+
 
 def _n_tokens(text_col: str):
     t = F.trim(F.col(text_col))
@@ -154,7 +159,9 @@ def langid_heuristic(docs: DataFrame, text_col: str = "text",
     ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
-        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+        F.when(ratio >= EN_STOPWORD_DENSITY, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_guess"),
     )
 
 
@@ -174,9 +181,9 @@ def corpus_keep_mask(docs: DataFrame, q_min: float = 0.7,
     from .dedup import dedup_flags
 
     q = quality_scores(docs, text_col, id_col)
-    lang = F.when(F.col("stopword_ratio") >= 0.02, F.lit("en")).otherwise(
-        F.lit("other")
-    )
+    lang = F.when(
+        F.col("stopword_ratio") >= EN_STOPWORD_DENSITY, F.lit("en")
+    ).otherwise(F.lit("other"))
     qm = q.select(id_col, "quality_score", lang.alias("lang_guess"))
     flags = dedup_flags(docs, text_col, id_col).select(id_col, "is_duplicate")
     return qm.join(flags, id_col).select(

@@ -203,9 +203,15 @@ class ParquetSnapshotCatalog:
         frames = []
         for key, path in sorted(paths.items()):
             col, _, raw = key.partition("=")
+            # Spark's Hive-style null sentinel must round-trip back to NULL
+            value = (
+                F.lit(None)
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else F.lit(unquote(raw))
+            )
             frames.append(
                 self.spark.read.parquet(path).withColumn(
-                    col, F.lit(unquote(raw)).cast(ptype)
+                    col, value.cast(ptype)
                 )
             )
         out = frames[0]
@@ -248,6 +254,13 @@ class ParquetSnapshotCatalog:
             return []
         expired, kept = log[:-keep_last], log[-keep_last:]
         live = {p for e in kept for p in e["paths"].values()}
+        # metadata first, data second (the Iceberg ordering): once the log
+        # swap commits, readers can no longer resolve the expired ids, so
+        # a crash mid-deletion leaves only unreachable orphan dirs — never
+        # a committed snapshot whose files are gone
+        tmp = self._log_path(table).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(kept, indent=2))
+        os.replace(tmp, self._log_path(table))
         removed_ids = []
         for e in expired:
             removed_ids.append(e["snapshot_id"])
@@ -258,9 +271,6 @@ class ParquetSnapshotCatalog:
                     for parent in (Path(p).parent, Path(p).parent.parent):
                         if parent.is_dir() and not any(parent.iterdir()):
                             parent.rmdir()
-        tmp = self._log_path(table).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(kept, indent=2))
-        os.replace(tmp, self._log_path(table))
         return removed_ids
 
 
@@ -314,6 +324,20 @@ class IcebergCatalog:
         self, table: str, from_snapshot_id: int,
         to_snapshot_id: int | None = None,
     ) -> DataFrame:
+        """Incremental scan. CAVEAT (Iceberg semantics, unlike the parquet
+        twin): ``start-snapshot-id`` incremental reads support only
+        APPEND snapshots — a range crossing a replace/overwrite snapshot
+        (what ``write``/``overwrite_partitions`` produce) makes the
+        source throw. For overwrite-aware diffs on a real cluster, build
+        a changelog view instead::
+
+            CALL <cat>.system.create_changelog_view(
+              table => '<ident>',
+              options => map('start-snapshot-id','<from>',
+                             'end-snapshot-id','<to>'))
+
+        and read the `_change_type` column; append-only ingestion tables
+        (the common CC-crawl shape) can use this method directly."""
         r = (
             self.spark.read.format("iceberg")
             .option("start-snapshot-id", from_snapshot_id)
@@ -322,12 +346,19 @@ class IcebergCatalog:
             r = r.option("end-snapshot-id", to_snapshot_id)
         return r.load(self._ident(table))
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
-        self.spark.sql(
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list:
+        """``older_than`` must be set explicitly: without it Iceberg's
+        default cutoff (now - 5 days) silently keeps every recent
+        snapshot and ``retain_last`` alone expires nothing. Returns the
+        procedure's result rows (counts), not ids — Iceberg does not
+        report which snapshot ids were dropped."""
+        rows = self.spark.sql(
             f"CALL {self.namespace.split('.', 1)[0]}.system.expire_snapshots"
-            f"(table => '{self._ident(table)}', retain_last => {keep_last})"
-        )
-        return []
+            f"(table => '{self._ident(table)}', "
+            f"older_than => TIMESTAMP '9999-12-31 00:00:00', "
+            f"retain_last => {keep_last})"
+        ).collect()
+        return [r.asDict() for r in rows]
 
 
 def get_catalog(spark: SparkSession, root_or_namespace: str, kind: str = "parquet"):

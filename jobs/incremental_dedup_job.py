@@ -134,11 +134,18 @@ def run_incremental_from_catalog(
     — under COW overwrites that is exactly the rewritten/new partitions)
     through the same band-index machinery as the streaming path.
 
-    State is the last processed snapshot id (``_snapshot_state.json`` in
-    ``work_dir``, written atomically AFTER the idempotent batch outputs),
-    so a crash before the state flip re-runs the same snapshot range into
-    the same overwrite-by-tag subdirs — exactly-once output. This is the
-    Iceberg incremental-scan consumption pattern at cluster scale.
+    State (``_snapshot_state.json`` in ``work_dir``) is a two-phase
+    record: before processing, the target snapshot is written as
+    ``pending`` (write-ahead intent, atomic); after the idempotent
+    overwrite-by-tag outputs land, the state flips to
+    ``{"snapshot_id": cur}``. A crash anywhere between intent and flip
+    re-runs the SAME pinned range into the SAME tag on retry — even if
+    newer snapshots were committed meanwhile — so outputs are
+    exactly-once. Reads are pinned to the captured snapshot id
+    (``catalog.read(table, cur)``), never "latest", so a concurrent
+    commit between ``snapshots()`` and the Spark action cannot smuggle
+    unrecorded rows into the batch. This is the Iceberg
+    incremental-scan consumption pattern at cluster scale.
     """
     import json
 
@@ -148,17 +155,28 @@ def run_incremental_from_catalog(
     pairs_path = os.path.join(work_dir, "pairs")
     state_path = os.path.join(work_dir, "_snapshot_state.json")
 
-    last = None
+    def _write_state(payload: dict) -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, state_path)
+
+    last, pending = None, None
     if os.path.exists(state_path):
-        last = json.load(open(state_path))["snapshot_id"]
-    snaps = catalog.snapshots(table)
-    if not snaps:
-        return {"processed_snapshots": 0, "docs": 0}
-    cur = snaps[-1]["snapshot_id"]
-    if last == cur:
-        return {"processed_snapshots": 0, "docs": 0, "snapshot_id": cur}
+        state = json.load(open(state_path))
+        last, pending = state.get("snapshot_id"), state.get("pending")
+    if pending is not None:
+        cur = pending  # crashed mid-run: finish the pinned range first
+    else:
+        snaps = catalog.snapshots(table)
+        if not snaps:
+            return {"processed_snapshots": 0, "docs": 0}
+        cur = snaps[-1]["snapshot_id"]
+        if last == cur:
+            return {"processed_snapshots": 0, "docs": 0, "snapshot_id": cur}
+        _write_state({"snapshot_id": last, "pending": cur})
     docs = (
-        catalog.read(table)
+        catalog.read(table, cur)
         if last is None
         else catalog.read_changes(table, last, cur)
     )
@@ -170,10 +188,7 @@ def run_incremental_from_catalog(
         )
     finally:
         bands.unpersist()
-    tmp = state_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"snapshot_id": cur}, f)
-    os.replace(tmp, state_path)
+    _write_state({"snapshot_id": cur})
     return {"processed_snapshots": 1, "docs": n_docs, "snapshot_id": cur}
 
 

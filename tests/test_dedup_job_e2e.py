@@ -95,3 +95,49 @@ def test_incremental_from_catalog_snapshot_diff(spark, tmp_path):
         for r in spark.read.parquet(f"{work}/pairs").select("a", "b").collect()
     }
     assert pairs2 == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_incremental_catalog_pending_state_pins_crashed_range(spark, tmp_path):
+    # a crash after the write-ahead intent must finish the PINNED range on
+    # retry, even when newer snapshots were committed meanwhile
+    import json
+
+    from incremental_dedup_job import run_incremental_from_catalog
+
+    from fastcdc_rs_spark.sources.table import ParquetSnapshotCatalog
+
+    def _text(seed):
+        import numpy as np
+
+        r = np.random.default_rng(seed)
+        return " ".join(
+            "".join(chr(97 + c) for c in r.integers(0, 26, 8)) for _ in range(120)
+        )
+
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    work = tmp_path / "work"
+    era1 = spark.createDataFrame(
+        [(1, _text(1), 0)], "doc_id long, text string, shard int"
+    )
+    cat.write(era1, "docs", partition_by="shard")
+    s1 = run_incremental_from_catalog(spark, cat, "docs", str(work))
+    assert s1["snapshot_id"] == 1
+
+    # snapshots 2 and 3 land; simulate a crash mid-way through processing 2
+    cat.overwrite_partitions(
+        spark.createDataFrame([(2, _text(2), 1)], "doc_id long, text string, shard int"),
+        "docs", "shard",
+    )
+    cat.overwrite_partitions(
+        spark.createDataFrame([(3, _text(3), 2)], "doc_id long, text string, shard int"),
+        "docs", "shard",
+    )
+    state = work / "_snapshot_state.json"
+    state.write_text(json.dumps({"snapshot_id": 1, "pending": 2}))
+
+    s2 = run_incremental_from_catalog(spark, cat, "docs", str(work))
+    assert s2 == {"processed_snapshots": 1, "docs": 1, "snapshot_id": 2}
+    assert json.loads(state.read_text()) == {"snapshot_id": 2}
+    # the next tick picks up snapshot 3's range separately
+    s3 = run_incremental_from_catalog(spark, cat, "docs", str(work))
+    assert s3 == {"processed_snapshots": 1, "docs": 1, "snapshot_id": 3}

@@ -133,3 +133,15 @@ def test_iceberg_catalog_requires_config(spark):
 
     with pytest.raises(RuntimeError, match="not configured"):
         IcebergCatalog(spark, "lake.db")
+
+
+def test_null_partition_value_roundtrips(spark, tmp_path):
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("en", 1), (None, 2), ("fr", 3)], "p string, v int"
+    )
+    cat.write(df, "t", partition_by="p")
+    rows = sorted(
+        ((r.p, r.v) for r in cat.read("t").collect()), key=lambda t: t[1]
+    )
+    assert rows == [("en", 1), (None, 2), ("fr", 3)]
