@@ -443,9 +443,11 @@ _PERMS = [
 ]
 
 
-def q_minhash_lsh_sql(spark, sf):
-    docs = _docs(spark, sf)
-    grams = token_ngrams(docs, n=3)
+def _lsh_sql_candidates(grams):
+    """(a, b) distinct LSH candidate pairs from the decimal-exact linear-
+    permutation MinHash over a (doc_id, ngram_hash) gram table — the
+    SQL-expressible twin of the production splitmix64 banding (same
+    structure: signature aggregate → 2×4 bands → bucket equi-join)."""
     dec = "decimal(38,0)"
     h = F.col("ngram_hash").cast(dec)
     mins = [
@@ -474,7 +476,58 @@ def q_minhash_lsh_sql(spark, sf):
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .orderBy("a", "b")
+    )
+
+
+def q_minhash_lsh_sql(spark, sf):
+    grams = token_ngrams(_docs(spark, sf), n=3)
+    return _lsh_sql_candidates(grams).orderBy("a", "b")
+
+
+def q_dedup_clusters_sql(spark, sf):
+    # Flagship pipeline SHAPE end-to-end under a value-level oracle:
+    # units → MinHash → LSH bands → candidate pairs → exact-Jaccard
+    # verification → connected components, with every stage in the
+    # SQL-expressible config (token-3-gram units, the decimal _PERMS
+    # family, 2×4 bands, Jaccard >= 0.5, min-label CC). This is the
+    # same operator chain as pipeline.near_dup_clusters — the production
+    # path swaps in the C splitmix64 kernels — so the rows-only
+    # `dedup_clusters` check now has a green end-to-end twin.
+    # Verification mirrors operators/verify.py at scale: gram-set arrays
+    # ship through the join only for candidate pairs, not all pairs.
+    from fastcdc_rs_spark.cache import register_cache
+
+    docs = _docs(spark, sf)
+    grams = register_cache(token_ngrams(docs, n=3).persist())
+    cand = _lsh_sql_candidates(grams)
+    sets = grams.groupBy("doc_id").agg(
+        F.collect_list("ngram_hash").alias("gset"),
+        F.count(F.lit(1)).alias("set_size"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("a"), F.col("gset").alias("gset_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b"), F.col("gset").alias("gset_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("gset_a", "gset_b"))
+    edges = (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter.cast("double")
+                / (F.col("size_a") + F.col("size_b") - inter).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("a", "b")
+    )
+    return connected_components(edges, vertices=docs.select("doc_id")).orderBy(
+        "doc_id"
     )
 
 
@@ -557,8 +610,30 @@ def q_simhash_hamming_pairs(spark, sf):
     )
 
 
+def _drain_then(fn):
+    """Release the previous query's operator-registered persisted frames
+    (cache.register_cache) before building the next plan: long-lived
+    harnesses (the correctness driver, notebooks) call queries back-to-back
+    and would otherwise accumulate cached band/gram tables for the whole
+    session. Safe here: by the time query N+1 is *constructed*, query N's
+    result has been collected."""
+    import functools
+
+    from fastcdc_rs_spark.cache import release_all
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf):
+        release_all()
+        return fn(spark, sf)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _drain_then(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "exact_dedup_flags": q_exact_dedup_flags,
         "exact_dup_groups": q_exact_dup_groups,
         "token_stats": q_token_stats,
@@ -599,7 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sql": q_simhash_sql,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "dedup_clusters": q_dedup_clusters,
-    }
+        "dedup_clusters_sql": q_dedup_clusters_sql,
+}
 
 
 # --------------------------------------------------------------------------
@@ -1201,6 +1277,57 @@ def oracle_sql() -> dict[str, str]:
         FROM bands l JOIN bands r USING (band_id, band_hash)
         WHERE l.doc_id < r.doc_id
         ORDER BY a, b
+    """
+
+    # Flagship twin: LSH candidates (same sigs/bands as minhash_lsh_sql)
+    # → candidate-restricted exact Jaccard → recursive-CTE min-label CC
+    # over all documents (singletons map to themselves).
+    sql["dedup_clusters_sql"] = f"""
+        WITH RECURSIVE {_GRAMS.lstrip()},
+        sigs AS (
+          SELECT doc_id, {mins_sql}
+          FROM (SELECT doc_id, ngram_hash AS h FROM grams)
+          GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band_id,
+                 md5(m0::VARCHAR || '_' || m1::VARCHAR || '_' || m2::VARCHAR || '_' || m3::VARCHAR) AS band_hash
+          FROM sigs
+          UNION ALL
+          SELECT doc_id, 1,
+                 md5(m4::VARCHAR || '_' || m5::VARCHAR || '_' || m6::VARCHAR || '_' || m7::VARCHAR)
+          FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r USING (band_id, band_hash)
+          WHERE l.doc_id < r.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS n_common
+          FROM cand c
+          JOIN grams ga ON ga.doc_id = c.a
+          JOIN grams gb ON gb.doc_id = c.b AND gb.ngram_hash = ga.ngram_hash
+          GROUP BY c.a, c.b
+        ),
+        verified AS (
+          SELECT a, b
+          FROM inter
+          JOIN sizes sa ON inter.a = sa.doc_id
+          JOIN sizes sb ON inter.b = sb.doc_id
+          WHERE round(n_common::DOUBLE / (sa.set_size + sb.set_size - n_common), 6) >= 0.5
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst FROM verified
+          UNION SELECT b, a FROM verified
+        ),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
     """
 
     sql["simhash_sql"] = f"""

@@ -25,10 +25,19 @@ def explode_once(
     keep: list[str] | None = None,
 ) -> DataFrame:
     """``df.select(*keep, explode(arr).alias(alias))`` without the
-    inferred-filter double evaluation of ``arr``."""
+    inferred-filter double evaluation of ``arr``.
+
+    True drop-in for inner ``explode`` including NULL *elements*: the
+    empty/NULL-array guard filters on the posexplode ordinal (never null
+    for a real element), not the element value, so arrays containing
+    nulls still emit a row per null element exactly like plain explode.
+    """
     keep = keep if keep is not None else []
-    out = df.select(*keep, F.explode_outer(arr).alias(alias))
-    return out.where(F.col(alias).isNotNull())
+    ord_col = f"__{alias}_ord"
+    out = df.select(
+        *keep, F.posexplode_outer(arr).alias(ord_col, alias)
+    )
+    return out.where(F.col(ord_col).isNotNull()).drop(ord_col)
 
 
 def posexplode_once(

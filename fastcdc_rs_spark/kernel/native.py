@@ -52,6 +52,9 @@ def _compile() -> str | None:
     if os.path.exists(so_path):
         return so_path
     cc = os.environ.get("CC", "cc")
+    tmp = None  # makedirs/mkstemp may raise before tmp binds (read-only
+    # package dir on a cluster deploy) — cleanup must not NameError, or
+    # the numpy fallback documented in available() never engages.
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_CACHE_DIR)
@@ -65,10 +68,11 @@ def _compile() -> str | None:
         os.rename(tmp, so_path)
         return so_path
     except (OSError, subprocess.SubprocessError):
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return None
 
 
@@ -162,7 +166,13 @@ def chunk_batch_columnar_native(
     gear = np.ascontiguousarray(gear, dtype=np.uint64)
     gear_ls = np.ascontiguousarray(gear_ls, dtype=np.uint64)
 
-    cap = total_len // cfg.min_size + n_docs + 1
+    # Smallest chunk an even-position normalized cut can emit is
+    # 2*(min_size//2) bytes — min_size-1 when min_size is odd — so the
+    # cap must divide by that, not min_size, or a pathological odd-min
+    # input overruns the bound and trips the assert below (clean failure,
+    # but needless: the check precedes all writes).
+    eff_min = max(2 * (cfg.min_size // 2), 1)
+    cap = total_len // eff_min + n_docs + 1
     counts = np.zeros(n_docs, dtype=np.int64)
     out_hash = np.empty(cap, dtype=np.uint64)
     out_off = np.empty(cap, dtype=np.int64)

@@ -1,9 +1,24 @@
 """Candidate-pair verification (SURVEY.md §2.B B9).
 
-Exact Jaccard similarity over the shingle sets of each candidate pair:
-join pairs back to the (broadcast-unfriendly, so shuffle-joined) shingle
-sets on both sides, then JVM-side ``array_intersect``/``array_union``
-cardinalities. Pairs at or above the threshold become edges for clustering.
+Exact Jaccard similarity over the shingle sets of each candidate pair,
+in two stages:
+
+1. **Size-ratio prefilter** (narrow join): J(A,B) <= min(|A|,|B|) /
+   max(|A|,|B|), so any pair whose set sizes differ by more than the
+   threshold ratio cannot verify. The prune joins only (id, set_size)
+   longs — candidate pairs from hot/star buckets that connect docs of
+   very different sizes are dropped *before* any shingle array ships
+   through a shuffle. The bound is exact, not probabilistic: no pair
+   with J >= threshold is ever pruned, so recall is untouched by
+   construction (the 400k-doc single-node parity stays 1.000000).
+2. **Array verification** (wide join): survivors join the full shingle
+   sets on both sides; |A∩B| via ``array_intersect`` and |A∪B| derived
+   as |A| + |B| - |A∩B| (the arrays are deduplicated sets, so this is
+   exact and saves the ``array_union`` pass).
+
+At 100 TB the wide join is the shuffle-bytes hotspot — a hub doc's
+array is copied once per surviving pair — so every pair the narrow
+prune removes saves a full array copy.
 """
 
 from __future__ import annotations
@@ -17,6 +32,28 @@ __all__ = ["verify_pairs"]
 def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
                  id_col: str = "doc_id", shingles_col: str = "shingles") -> DataFrame:
     """(a, b, jaccard) for pairs with exact Jaccard >= threshold."""
+    sizes = shingled.select(
+        F.col(id_col), F.size(shingles_col).alias("_sz")
+    )
+    if threshold > 0:
+        # narrow prune: ship two longs per pair, not two arrays.
+        # min/max >= threshold is necessary for J >= threshold; pairs
+        # with an empty side survive only via the both-empty J=1 case.
+        za = sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sz_a"))
+        zb = sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_sz_b"))
+        pairs = (
+            pairs.join(za, "a").join(zb, "b")
+            .where(
+                # 1e-9 absolute slack: float rounding in t*max must never
+                # prune a pair whose real-arithmetic ratio equals t; the
+                # few infinitesimally-below-t pairs kept are dropped by
+                # the exact verification anyway.
+                F.least("_sz_a", "_sz_b").cast("double")
+                >= F.lit(float(threshold)) * F.greatest("_sz_a", "_sz_b").cast("double")
+                - F.lit(1e-9)
+            )
+            .select("a", "b")
+        )
     sa = shingled.select(
         F.col(id_col).alias("a"), F.col(shingles_col).alias("_sh_a")
     )
@@ -25,7 +62,8 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
     )
     joined = pairs.join(sa, "a").join(sb, "b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    # the shingle arrays are deduplicated sets: |A ∪ B| = |A| + |B| − |A ∩ B|
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
     return (
         joined.withColumn(
             "jaccard",

@@ -14,11 +14,15 @@ batch window uses. Within-batch work is vectorized pandas per group.
 
 Output rows match the batch operator's schema
 (user_id, session_id, session_start, session_end, n_events), epoch
-seconds, session_id numbering each user's sessions from 1 in time
-order — so for any prefix of the stream where a session has closed,
-stream output == batch output on the same events
+seconds, session_id numbering each user's sessions from 1 in
+*arrival* order — so stream output == batch output on the same events
+whenever each user's events arrive in time order across micro-batches
 (tests/test_session_stream.py pins it, including sessions stitched
-across micro-batches).
+across micro-batches). Caveat: an out-of-order but within-watermark
+session that arrives *after* a later session gets a higher session_id
+than the batch twin's time-ordered numbering; consumers needing exact
+batch equality under reordering should renumber by session_start at
+read time (e.g. row_number over (user_id ORDER BY session_start)).
 """
 
 from __future__ import annotations
