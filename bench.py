@@ -134,48 +134,69 @@ def main() -> None:
         "doc_fingerprint",
         "exact_dedup_flags",
         "ngram_jaccard",
+        "ngram_jaccard_capped",
         "substring_pairs",
         "embedding_topk_ivf",
         "dedup_clusters",
+        "dedup_clusters_sql",
     ]
     from fastcdc_rs_spark.cache import release_all
 
+    # Variance protocol for this burstable-CPU host: every query runs
+    # REPS times; the headline per-query number is the MIN (disclosed
+    # best-of) and ALL raw samples ride in the JSON so driver-visible
+    # numbers and quiet-window claims are reconcilable.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+
+    def _timed(name, thunk):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            thunk()
+            ts.append(round(time.perf_counter() - t0, 3))
+            release_all()  # drain operator-registered caches between runs
+        samples[name] = ts
+        timings[name] = min(ts)
+
     qs = entrymod.queries()
     for name in qnames:
-        t0 = time.perf_counter()
-        _noop_write(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_all()  # drain operator-registered caches between queries
+        _timed(name, lambda name=name: _noop_write(qs[name](spark, SF_DIR)))
 
     # embedding near-dups via the banded-RHP (scale) path
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
-    t0 = time.perf_counter()
     # 8 bands x 10 sign bits: ~2^10 keys/band so random (non-dup) vectors
     # rarely collide, while cosine>=0.8 pairs collide in >=1 band w.p.
     # ~0.97 — the config the SQL-expr key builder makes affordable
-    _noop_write(
-        cosine_near_duplicates_banded(
-            emb, threshold=0.8, dim=dim, bands=8, rows_per_band=10,
-            bucket_cap=64,
-        )
+    _timed(
+        "embedding_near_dups_banded",
+        lambda: _noop_write(
+            cosine_near_duplicates_banded(
+                emb, threshold=0.8, dim=dim, bands=8, rows_per_band=10,
+                bucket_cap=64,
+            )
+        ),
     )
-    timings["embedding_near_dups_banded"] = round(time.perf_counter() - t0, 3)
-    release_all()  # banded keys register a persisted frame
 
     # flagship: synthetic CC-style corpus at realistic page sizes, with
     # the B14 pipeline metrics riding the run's own actions (Observation
     # nodes — no extra passes)
     sdocs, n, _ = _stage_corpus(spark, SYNTH_DOCS, int(CPUS))
-    t0 = time.perf_counter()
-    clusters, _, pmetrics = near_dup_clusters(
-        sdocs, DedupConfig(), collect_metrics=True
+    pmetrics_box = {}
+
+    def _run_pipeline():
+        clusters, _, pmetrics = near_dup_clusters(
+            sdocs, DedupConfig(), collect_metrics=True
+        )
+        _noop_write(clusters)
+        pmetrics_box["m"] = getattr(pmetrics, "_graft_summary", None)
+
+    _timed("pipeline_synthetic", _run_pipeline)
+    timings["pipeline_synthetic_docs_per_sec"] = round(
+        n / timings["pipeline_synthetic"], 1
     )
-    _noop_write(clusters)
-    dt = time.perf_counter() - t0
-    timings["pipeline_synthetic"] = round(dt, 3)
-    timings["pipeline_synthetic_docs_per_sec"] = round(n / dt, 1)
 
     total = sum(v for k, v in timings.items() if not k.endswith("docs_per_sec"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -186,7 +207,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "pipeline_metrics": getattr(pmetrics, "_graft_summary", None),
+                "samples": samples,
+                "reps": reps,
+                "pipeline_metrics": pmetrics_box.get("m"),
                 "sf": float(sf) if sf else None,
             }
         )

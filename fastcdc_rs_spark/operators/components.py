@@ -13,8 +13,10 @@ as DataFrame joins, over **edge endpoints only**:
   is O(log diameter) rounds (the large-star/small-star idea in join form).
 * ``localCheckpoint`` per round truncates lineage — without it the plan
   doubles every iteration and the driver dies long before the data does.
-* Convergence check (a cheap aggregate on the label table) runs every
-  round; on skewed star-shaped dup clusters the loop exits in 2-3 rounds.
+* Convergence check: an ``Observation`` node on the round's own
+  checkpoint materialization counts changed labels — one job per round
+  total, no separate count action; on skewed star-shaped dup clusters
+  the loop exits in 2-3 rounds.
 
 Cluster id = min doc_id of the component (stable, deterministic).
 """
@@ -118,6 +120,8 @@ def _cc_loop(
     if _DEBUG:
         print(f"cc: {n_edges} sym edges, loop partitions {loop_parts}", flush=True)
 
+    from pyspark.sql import Observation
+
     rounds = 0
     for it in range(max_iter):
         rounds = it + 1
@@ -128,27 +132,39 @@ def _cc_loop(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
-        # carry the round-start label ("old") through the jump: the
-        # convergence check below becomes a filter-count on the already-
-        # checkpointed frame instead of an extra join+shuffle per round
         new_labels = labels.join(neighbor_min, "node").select(
             "node",
             F.least("label", "nmin").alias("label"),
             F.col("label").alias("old"),
         )
-        # pointer jumping: label <- label(label)
-        lab2 = new_labels.select(
+        # Pointer jumping label <- map(label), with `map` = the START-of-
+        # round label table: it is already checkpointed, so the jump's
+        # second join side reads materialized blocks instead of
+        # re-evaluating this round's join pipeline (the two sides shuffle
+        # on different keys, so Catalyst can never reuse the exchange).
+        # A one-round-stale map is still a valid accelerator — it maps any
+        # label to a smaller id in the same component — and convergence is
+        # unaffected: the loop exits only when a full round changes no
+        # label, at which point labels are constant per component.
+        lab2 = labels.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
+        # Convergence count rides the checkpoint's own materialization job
+        # as an Observation node — no separate per-round count job.
+        obs = Observation(f"cc_round_{it}")
         jumped = _truncate(
             new_labels.join(lab2, "label", "left")
             .select(
                 "node", F.coalesce("label2", "label").alias("label"), "old"
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old")).cast("long")
+                ).alias("changed"),
+            )
         )
-        changed = (
-            jumped.where(F.col("label") != F.col("old")).limit(1).count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = jumped.select("node", "label")
         if _DEBUG:
             print(f"cc round {it}: changed={changed} {time.perf_counter() - _t0:.2f}s", flush=True)

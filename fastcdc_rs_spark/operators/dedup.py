@@ -169,7 +169,7 @@ def substring_pairs(docs: DataFrame, min_len: int = 40, df_cap: int | None = Non
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
-                        df_cap: int | None = None,
+                        df_cap: int | None = None, cache_grams: bool = False,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(a, b, jaccard) for doc pairs with token-n-gram Jaccard >= threshold.
 
@@ -183,17 +183,26 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
     join fan-out is bounded by Σ min(df, cap)² ≤ cap · |grams|, linear
     in corpus size. ``None`` = exact (the oracle twin); at CC scale
     always set a cap.
+
+    ``cache_grams``: the gram table feeds FOUR consumers (both join sides
+    + both size lookups) and Catalyst does not reuse the exchange across
+    the differently-aliased sides — uncached, the explode+hash+distinct
+    plan runs four times (verified in the executed plan: 4 FileScans).
+    Despite that, caching measured SLOWER at every benchable scale
+    (sf0.1: ~2.6 s uncached vs 4.1-9.6 s cached — the blocking
+    materialization plus memory-bandwidth cost of the cache write exceeds
+    4x recompute of a cheap explode+hash). Default off; turn on only for
+    corpora where gram construction is expensive enough to dominate (very
+    large documents, or a cluster whose storage-memory writes are cheap
+    relative to the input scan).
     """
-    # The gram table feeds FOUR consumers (both join sides + both size
-    # lookups) and Catalyst does not reuse the exchange across the
-    # differently-aliased sides — uncached, the explode+hash+distinct
-    # plan runs four times (measured: 4 FileScans). Persist it once;
-    # ownership rides the result via _graft_caches (cache.release_caches).
     from ..cache import register_cache
 
     caches = []
-    grams = register_cache(token_ngrams(docs, n, text_col, id_col).persist())
-    caches.append(grams)
+    grams = token_ngrams(docs, n, text_col, id_col)
+    if cache_grams:
+        grams = register_cache(grams.persist())
+        caches.append(grams)
     if df_cap is not None:
         # df filter: one extra aggregation on the same key the self-join
         # shuffles on, so the exchange is aligned (no additional shuffle
@@ -204,8 +213,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
             .where(F.col("df") <= df_cap)
             .select("ngram_hash")
         )
-        grams = register_cache(grams.join(kept, "ngram_hash").persist())
-        caches.append(grams)
+        grams = grams.join(kept, "ngram_hash")
+        if cache_grams:
+            grams = register_cache(grams.persist())
+            caches.append(grams)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # NOTE: deliberately a streaming self-join, NOT the collect_list +
     # pair-expansion form used by substring_pairs. Token 3-grams are HOT

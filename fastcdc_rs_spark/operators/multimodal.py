@@ -2,11 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition-size control — is real and tested;
-the actual codec calls are STUBBED behind ``_decode_image``/
-``_decode_audio`` with deterministic fakes (the container has no
-image/audio libraries), clearly marked below. Swapping in PIL/libsndfile
-is a one-function change that does not alter any DataFrame contract.
+``mapInPandas`` signatures, partition-size control — is real and tested.
+Codecs: PNG images decode for REAL via a stdlib-only decoder
+(``_decode_png``: zlib + filter reconstruction) and WAV audio via stdlib
+``wave``; other image formats use PIL when importable; remaining paths
+(non-PNG images without PIL, non-WAV audio, video keyframes) are
+STUBBED with deterministic fakes, clearly marked below. Swapping in
+PIL/libsndfile/ffmpeg is a one-function change that does not alter any
+DataFrame contract.
 """
 
 from __future__ import annotations
@@ -57,16 +60,113 @@ MEDIA_SCHEMA = StructType(
 _FEATURE_DIM = 16
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only PNG decode (zlib inflate + per-scanline filter
+    reconstruction) to an HxWx3 uint8 array — no image library needed.
+
+    Supports the common web subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    Alpha is dropped (PIL ``convert("RGB")`` semantics); gray replicates
+    across channels. Anything outside the subset raises ``ValueError`` so
+    the caller can fall back. Filters per the PNG spec §9: 0 none,
+    1 sub (per-channel cumsum mod 256), 2 up, 3 average, 4 Paeth (the
+    last two are inherently sequential per scanline)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos: pos + 4])
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)], np.uint8
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # sub: recon(x) = line(x) + recon(x-bpp) — per-channel cumsum
+            cur = line.copy()
+            for c in range(channels):
+                cur[c::channels] = np.cumsum(cur[c::channels]) % 256
+        elif ft == 2:  # up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):  # average / Paeth: sequential in x by definition
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = cur
+        prev = cur
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[:, :, 0]]
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA (alpha dropped)
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode to an HxWx3 uint8 array.
 
-    Uses PIL when importable (real deployments); otherwise — or when
+    PNG payloads decode for REAL via the stdlib-only ``_decode_png``
+    (no image library needed in this container); other formats use PIL
+    when importable (real deployments); otherwise — or when
     ``SPARK_GRAFT_FAKE_MEDIA=1`` forces it (tests, this container) — a
     clearly-marked deterministic STUB derived from the payload bytes so
     the downstream plumbing (shapes, hashing, batching) is exercised
     honestly. Raises on empty payload like a real decoder."""
     if not payload:
         raise ValueError("empty image payload")
+    if payload[:8] == _PNG_MAGIC and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
+        try:
+            return _decode_png(payload)
+        except ValueError:
+            if not _HAVE_PIL:
+                raise  # corrupt or exotic PNG and no fallback decoder
     if _HAVE_PIL and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
         img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8)

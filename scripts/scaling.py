@@ -93,6 +93,7 @@ def main() -> None:
 
     mb = best[hi]["queries"]["input_mb"]
     bench_md = REPO / "BENCH.md"
+    tail = _STATIC_TAIL.replace("{COUNTS}", _oracle_counts())
     bench_md.write_text(f"""# BENCH — measured numbers (this repo)
 
 ## Scaling efficiency (north-rule evidence)
@@ -131,12 +132,37 @@ it keeps vanishing at real scale)
 
 Throughput at {hi} cores: {round(t_hi * mb * 1048576 / n_docs / 1048576, 1)} MB/s of text through
 chunk+signature.
-""" + _STATIC_TAIL)
+""" + tail)
     print(f"wrote {bench_md}")
 
 
+def _oracle_counts() -> str:
+    """Verification-count line GENERATED from the driver contract and the
+    latest driver correctness artifact — never hand-written (it drifted
+    twice when queries were added)."""
+    import glob
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    n_q = len(entrymod.queries())
+    n_o = len(entrymod.oracle_sql())
+    line = (f"{n_o} of {n_q} driver queries have DuckDB oracle twins "
+            f"(the rest are kernel-backed, rows-only by declared design)")
+    arts = sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json")))
+    if arts:
+        rec = json.loads(Path(arts[-1]).read_text())
+        green = sum(1 for v in rec.values() if v.get("hash_match"))
+        checkable = sum(1 for v in rec.values() if v.get("err") != "no_oracle")
+        line += (f"; latest driver artifact ({Path(arts[-1]).name}): "
+                 f"{green}/{checkable} oracle-checked queries green "
+                 f"(rows+schema+value-hash)")
+    return line
+
+
 # Curated sections preserved across scaling re-runs (update by hand when
-# the kernel or correctness story changes).
+# the kernel or correctness story changes). {COUNTS} is filled from the
+# live driver contract by _oracle_counts().
 _STATIC_TAIL = """
 ## Fixed per-job floor (why sandbox pipeline efficiency understates scale)
 
@@ -196,11 +222,11 @@ actions), bucket-size log2 histogram, cap counters, CC rounds.
   landed) a 400,000-doc corpus, 130,576 verified pairs on both sides —
   dup-pair recall 1.000000, precision 1.000000, all 400,000 cluster
   assignments identical (target >= 0.99; parity by shared kernels);
-- 32 of 37 driver queries verified against DuckDB oracle SQL
-  (kernel-backed chunks/bands/simhash/clusters + approximate IVF top-k
-  are rows-only by design), including seven TPC-H-shape relational
-  queries (decimal-exact sums) and df-capped production twins of the
-  n-gram/substring dedup queries.
+- {COUNTS} — including seven TPC-H-shape relational queries
+  (decimal-exact sums), df-capped production twins of the
+  n-gram/substring dedup queries, and (round 3) a full pipeline-shape
+  twin `dedup_clusters_sql` (units → MinHash → LSH → verify → CC under
+  the decimal permutation family vs a recursive-CTE oracle).
 """
 
 

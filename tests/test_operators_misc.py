@@ -504,3 +504,106 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
         # session-scoped fixture: clear so later tests use localCheckpoint
         spark.sparkContext.setCheckpointDir(None)
     assert rel == base == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def _encode_png(px: np.ndarray, color: int, filters: list[int],
+                plte: np.ndarray | None = None) -> bytes:
+    """Minimal PNG writer (stdlib struct+zlib) for the decoder goldens:
+    encodes the KNOWN pixel array with the given per-row filter types, so
+    _decode_png's filter reconstruction is pinned against ground truth."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    raw = px.reshape(h, w * ch).astype(np.int32)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    lines = []
+    prev = np.zeros(w * ch, np.int32)
+    for y, ft in zip(range(h), filters):
+        cur = raw[y]
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            shifted = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            f = (cur - shifted) % 256
+        elif ft == 2:
+            f = (cur - prev) % 256
+        else:  # 3 average / 4 paeth, sequential by definition
+            f = np.zeros(w * ch, np.int32)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[x] = (cur[x] - pred) % 256
+        lines.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte.astype(np.uint8).ravel()))
+    out += chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_goldens_all_filters():
+    from fastcdc_rs_spark.operators.multimodal import _decode_image, _decode_png
+
+    rng = np.random.default_rng(11)
+    # RGB 5x4, one row per filter type incl. average + Paeth
+    px = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    payload = _encode_png(px, color=2, filters=[0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(_decode_png(payload), px)
+    # _decode_image routes PNG magic to the real decoder (no stub shapes)
+    np.testing.assert_array_equal(_decode_image(payload), px)
+
+    # RGBA: alpha dropped (PIL convert("RGB") semantics)
+    pxa = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    pa = _encode_png(pxa, color=6, filters=[4, 3, 1])
+    np.testing.assert_array_equal(_decode_png(pa), pxa[:, :, :3])
+
+    # grayscale replicates across channels
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    pg = _encode_png(g, color=0, filters=[2, 4, 0, 3])
+    np.testing.assert_array_equal(_decode_png(pg), np.repeat(g[:, :, None], 3, axis=2))
+
+    # palette lookup
+    idx = rng.integers(0, 7, (3, 5), dtype=np.uint8)
+    plte = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    pp = _encode_png(idx, color=3, filters=[0, 1, 2], plte=plte)
+    np.testing.assert_array_equal(_decode_png(pp), plte[idx])
+
+    # unsupported shapes raise ValueError (caller falls back)
+    with pytest.raises(ValueError):
+        _decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        _decode_png(b"JFIF not a png")
+
+
+def test_png_through_image_operators(spark):
+    from fastcdc_rs_spark.operators.multimodal import image_resize
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    payload = _encode_png(px, color=2, filters=[0, 1, 2, 3, 4, 2])
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = image_features(media).first()
+    assert (r.height, r.width) == (6, 8)
+    hist, _ = np.histogram(px, bins=16, range=(0, 256))
+    np.testing.assert_allclose(r.features, hist / hist.sum(), atol=1e-6)
+    rz = image_resize(media, 3, 4).first()
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(4) * 8) // 4
+    assert bytes(rz.pixels) == px[rows][:, cols].tobytes()

@@ -145,3 +145,68 @@ def test_null_partition_value_roundtrips(spark, tmp_path):
         ((r.p, r.v) for r in cat.read("t").collect()), key=lambda t: t[1]
     )
     assert rows == [("en", 1), (None, 2), ("fr", 3)]
+
+
+def test_crash_between_data_write_and_log_append(spark, tmp_path, monkeypatch):
+    # The real failure Iceberg defends: the writer dies AFTER its data
+    # files land but BEFORE the metadata swap. Simulated by failing
+    # _append_commit inside the actual write path (not by hand-placing an
+    # orphan dir): the half-written snapshot must stay invisible to every
+    # read surface, and the next successful commit must be unaffected.
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "p int, v string")
+    cat.write(base, "t", partition_by="p")
+
+    def killed(table, entry):
+        raise RuntimeError("writer killed before log append")
+
+    monkeypatch.setattr(cat, "_append_commit", killed)
+    patch = spark.createDataFrame([(2, "NEW")], "p int, v string")
+    with pytest.raises(RuntimeError, match="killed"):
+        cat.overwrite_partitions(patch, "t", "p")
+    monkeypatch.undo()
+
+    # orphan data dir exists on disk but no read surface resolves it
+    snap_dirs = [d for d in os.listdir(cat.root / "t") if d.startswith("snap-")]
+    assert len(snap_dirs) == 2  # committed + orphan
+    assert _rows(cat.read("t")) == [(1, "a"), (2, "b")]
+    assert len(cat.snapshots("t")) == 1
+
+    # recovery: the retried commit succeeds and incremental scan sees
+    # exactly the retried rows, never the orphan's
+    cat.overwrite_partitions(patch, "t", "p")
+    assert _rows(cat.read("t")) == [(1, "a"), (2, "NEW")]
+    assert _rows(cat.read_changes("t", from_snapshot_id=1)) == [(2, "NEW")]
+
+
+def test_expiry_racing_time_travel_readers(spark, tmp_path):
+    # Readers that resolved a SURVIVING snapshot before expiry must stay
+    # fully readable afterwards (shared carried-forward dirs are kept);
+    # a reader that pre-resolved an EXPIRED snapshot fails loudly at
+    # collect (its unshared files are gone), and re-resolving the expired
+    # id fails cleanly at metadata — never a silent partial read. (Iceberg
+    # closes the remaining window with retention horizons; same contract.)
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(p, f"v{p}") for p in range(3)], "p int, v string"
+    )
+    cat.write(base, "t", partition_by="p")  # snap 1
+    cat.overwrite_partitions(
+        spark.createDataFrame([(1, "B")], "p int, v string"), "t", "p"
+    )  # snap 2
+    cat.overwrite_partitions(
+        spark.createDataFrame([(2, "C")], "p int, v string"), "t", "p"
+    )  # snap 3
+
+    survivor_df = cat.read("t")                     # resolved pre-expiry
+    expired_df = cat.read("t", snapshot_id=1)       # resolved pre-expiry
+    assert cat.expire_snapshots("t", keep_last=1) == [1, 2]
+
+    # survivor reader: every partition (incl. dirs carried forward from
+    # expired snapshots) still present
+    assert _rows(survivor_df) == [(0, "v0"), (1, "B"), (2, "C")]
+    # expired reader: loud failure, not silent partial data
+    with pytest.raises(Exception):
+        expired_df.collect()
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read("t", snapshot_id=1)
