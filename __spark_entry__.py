@@ -495,10 +495,13 @@ def q_dedup_clusters_sql(spark, sf):
     # `dedup_clusters` check now has a green end-to-end twin.
     # Verification mirrors operators/verify.py at scale: gram-set arrays
     # ship through the join only for candidate pairs, not all pairs.
-    from fastcdc_rs_spark.cache import register_cache
-
+    # The gram table is NOT persisted (2 consumers; recompute of the
+    # explode+hash measured cheaper than cache materialization — same
+    # finding as ngram_jaccard_pairs); the banded-signature table inside
+    # _lsh_sql_candidates IS (the 8-perm decimal aggregation is the
+    # expensive subplan and feeds both self-join sides).
     docs = _docs(spark, sf)
-    grams = register_cache(token_ngrams(docs, n=3).persist())
+    grams = token_ngrams(docs, n=3)
     cand = _lsh_sql_candidates(grams)
     sets = grams.groupBy("doc_id").agg(
         F.collect_list("ngram_hash").alias("gset"),
