@@ -4,12 +4,13 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partition-size control — is real and tested.
 Codecs: PNG images decode for REAL via a stdlib-only decoder
-(``_decode_png``: zlib + filter reconstruction) and WAV audio via stdlib
-``wave``; other image formats use PIL when importable; remaining paths
-(non-PNG images without PIL, non-WAV audio, video keyframes) are
-STUBBED with deterministic fakes, clearly marked below. Swapping in
-PIL/libsndfile/ffmpeg is a one-function change that does not alter any
-DataFrame contract.
+(``_decode_png``: zlib + filter reconstruction), WAV audio via stdlib
+``wave``, and MJPEG video frames segment for REAL via a JPEG structure
+walker (``_jpeg_end``); other image formats use PIL when importable;
+remaining paths (non-PNG images without PIL, non-WAV audio, non-MJPEG
+video) are STUBBED with deterministic fakes, clearly marked below.
+Swapping in PIL/libsndfile/ffmpeg is a one-function change that does
+not alter any DataFrame contract.
 """
 
 from __future__ import annotations
@@ -355,18 +356,86 @@ def audio_features(media: DataFrame, n_bands: int = 8,
     return media.select(id_col, payload_col).mapInPandas(_featurize, out_schema)
 
 
+def _jpeg_end(buf: bytes, start: int) -> int | None:
+    """Offset just past the EOI of the JPEG frame starting at ``start``
+    (which must point at an SOI marker), or None if truncated/malformed.
+
+    Walks the real JPEG segment structure — fill bytes, bare markers
+    (TEM/RSTn), length-prefixed segments, and SOS entropy-coded data
+    (where 0xFF is only a marker when not followed by 0x00 stuffing or an
+    RSTn) — so frame boundaries are exact, never fooled by 0xFFD8/0xFFD9
+    byte patterns inside compressed data."""
+    n = len(buf)
+    j = start + 2
+    while j + 1 < n:
+        if buf[j] != 0xFF:
+            return None  # outside entropy data every segment starts 0xFF
+        m = buf[j + 1]
+        if m == 0xFF:          # fill byte
+            j += 1
+            continue
+        if m == 0xD9:          # EOI
+            return j + 2
+        if m == 0xD8:          # nested SOI: malformed
+            return None
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / RSTn: bare markers
+            j += 2
+            continue
+        if j + 3 >= n:
+            return None
+        seglen = (buf[j + 2] << 8) | buf[j + 3]
+        if seglen < 2:
+            return None
+        j += 2 + seglen
+        if m == 0xDA:          # SOS: entropy-coded data follows
+            while j + 1 < n and not (
+                buf[j] == 0xFF
+                and buf[j + 1] != 0x00
+                and not (0xD0 <= buf[j + 1] <= 0xD7)
+            ):
+                j += 1
+    return None
+
+
+def _mjpeg_frame_spans(buf: bytes) -> list[tuple[int, int]]:
+    """(start, end) spans of complete JPEG frames in an MJPEG payload;
+    resyncs past malformed/truncated regions to the next SOI."""
+    spans = []
+    i = 0
+    while True:
+        i = buf.find(b"\xff\xd8", i)
+        if i < 0:
+            break
+        end = _jpeg_end(buf, i)
+        if end is None:
+            i += 2  # resync
+        else:
+            spans.append((i, end))
+            i = end
+    return spans
+
+
 def frame_sample(media: DataFrame, every_n: int = 10,
                  payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
     """(media_id, frame_idx, frame_hash): deterministic frame sampling for
-    video payloads. STUB decode: frames are fixed-size byte slices of the
-    payload; a real decoder would seek keyframes. The explode/batch shape
-    is what a real implementation inherits unchanged.
+    video payloads.
+
+    MJPEG payloads (leading SOI marker) get REAL frame segmentation: the
+    JPEG structure walker ``_jpeg_end`` finds exact frame boundaries, the
+    sampled frames' bytes are hashed (md5-folded to int64) — stdlib-only,
+    the shape an ffmpeg-backed keyframe sampler would inherit unchanged
+    (one ``mapInPandas`` batch per Arrow batch, no shuffle). Other
+    payloads keep the declared STUB: frames are fixed-size byte slices,
+    all JVM-side (sequence + substr + xxhash64).
     """
+    is_mjpeg = F.hex(F.substring(F.col(payload_col), 1, 2)) == "FFD8"
+
     frame_bytes = 256
     n_frames = F.floor(F.length(F.col(payload_col)) / frame_bytes).cast("int")
     idxs = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-    return (
-        media.select(
+    stub = (
+        media.where(~is_mjpeg)
+        .select(
             F.col(id_col),
             F.col(payload_col),
             F.explode(idxs).alias("frame_idx"),
@@ -383,3 +452,38 @@ def frame_sample(media: DataFrame, every_n: int = 10,
             ).alias("frame_hash"),
         )
     )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_hash", LongType(), False),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs_, hashes = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                spans = _mjpeg_frame_spans(buf)
+                for k in range(0, len(spans), every_n):
+                    s, e = spans[k]
+                    digest = hashlib.md5(buf[s:e]).digest()
+                    ids.append(mid)
+                    idxs_.append(k)
+                    hashes.append(
+                        int.from_bytes(digest[:8], "big", signed=True)
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs_, "frame_hash": hashes}
+            )
+
+    real = (
+        media.where(is_mjpeg)
+        .select(id_col, payload_col)
+        .mapInPandas(_sample, out_schema)
+    )
+    return stub.unionByName(real)

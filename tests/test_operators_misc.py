@@ -607,3 +607,152 @@ def test_png_through_image_operators(spark):
     rows = (np.arange(3) * 6) // 3
     cols = (np.arange(4) * 8) // 4
     assert bytes(rz.pixels) == px[rows][:, cols].tobytes()
+
+
+def test_cc_long_path_graph_stale_jump_map(spark):
+    # Worst case for pointer jumping — a long path — under the round-3
+    # jump-through-START-of-round-map design: labels must still converge
+    # to the path minimum, and the loop must terminate well under
+    # max_iter (jump keeps O(log n)-ish rounds even with the stale map).
+    from fastcdc_rs_spark.operators.components import connected_components
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(1000, 1001)], "a long, b long"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(edges).collect()}
+    want = {(i, 0) for i in range(n)} | {(1000, 1000), (1001, 1000)}
+    assert got == want
+
+
+def test_ngram_jaccard_plan_uncached_no_row_python(spark):
+    # round-3 regression pin: the default (uncached) gram path must not
+    # plan an InMemoryTableScan (the r2 persist that regressed the bench)
+    # and must stay JVM-side; the documented cost is exactly 4 FileScans
+    # of the documents table (both join sides + both size lookups).
+    from fastcdc_rs_spark.operators.dedup import ngram_jaccard_pairs
+    from fastcdc_rs_spark.plans import executed_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5))
+    assert "InMemoryTableScan" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("FileScan parquet") == 4, plan
+    # opt-in caching restores the single-scan plan
+    cached = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, cache_grams=True)
+    plan_c = executed_plan(cached)
+    assert "InMemoryTableScan" in plan_c, plan_c
+    from fastcdc_rs_spark.cache import release_all
+
+    release_all()
+
+
+def test_verify_pairs_prefilter_semantics(spark):
+    # The size-ratio prune is EXACT: results equal brute-force Jaccard on
+    # every edge case — both-empty (J=1), one-empty (pruned), borderline
+    # subset pair with min/max == J == threshold exactly, and a hub pair
+    # whose sizes differ 10x (pruned before arrays would ship).
+    from fastcdc_rs_spark.operators.verify import verify_pairs
+
+    sets = {
+        1: [10, 11, 12], 2: [10, 11, 12],          # identical
+        3: [1, 2, 3], 4: [7, 8, 9],                # disjoint, same size
+        5: [1], 6: list(range(100, 110)),          # 1 vs 10 -> prune
+        7: [], 8: [],                              # both empty -> J=1
+        9: [1, 2, 3, 4], 10: [1, 2, 3, 4, 5],     # subset: J = 4/5 = 0.8
+    }
+    shingled = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "doc_id long, shingles array<long>"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8), (9, 10)], "a long, b long"
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in verify_pairs(pairs, shingled, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2), (7, 8), (9, 10)}
+    assert got[(1, 2)] == 1.0 and got[(7, 8)] == 1.0
+    assert abs(got[(9, 10)] - 0.8) < 1e-12
+
+
+def test_png_roundtrip_property():
+    # every random 8-bit image round-trips encoder -> decoder exactly,
+    # across sizes, color types, and per-row filter choices
+    from hypothesis import given, settings, strategies as st
+
+    from fastcdc_rs_spark.operators.multimodal import _decode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        color=st.sampled_from([0, 2, 6]),
+        seed=st.integers(0, 2**31), data=st.data(),
+    )
+    def prop(h, w, color, seed, data):
+        rng = np.random.default_rng(seed)
+        ch = {0: None, 2: 3, 6: 4}[color]
+        shape = (h, w) if ch is None else (h, w, ch)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        payload = _encode_png(px, color=color, filters=filters)
+        out = _decode_png(payload)
+        if color == 0:
+            np.testing.assert_array_equal(out, np.repeat(px[:, :, None], 3, axis=2))
+        elif color == 6:
+            np.testing.assert_array_equal(out, px[:, :, :3])
+        else:
+            np.testing.assert_array_equal(out, px)
+
+    prop()
+
+
+def _fake_jpeg(entropy: bytes) -> bytes:
+    """Structurally valid JPEG: SOI + APP0 + SOS(+entropy with 0xFF00
+    stuffing and an RST marker — raw 0xFFD8 cannot occur in real entropy
+    data) + EOI."""
+    app0 = b"\xff\xe0" + (len(b"JFIF\x00") + 2).to_bytes(2, "big") + b"JFIF\x00"
+    sos_hdr = b"\xff\xda" + (4).to_bytes(2, "big") + b"\x01\x00"
+    return b"\xff\xd8" + app0 + sos_hdr + entropy + b"\xff\xd9"
+
+
+def test_mjpeg_frame_segmentation():
+    from fastcdc_rs_spark.operators.multimodal import (
+        _jpeg_end,
+        _mjpeg_frame_spans,
+    )
+
+    # entropy containing stuffed 0xFF00 and an RST marker must not
+    # terminate the frame early
+    f1 = _fake_jpeg(b"\x01\x02\xff\x00\x03\xff\xd0\x04\x05")
+    f2 = _fake_jpeg(b"\xaa\xbb\xcc")
+    assert _jpeg_end(f1, 0) == len(f1)
+    buf = f1 + f2 + f1
+    spans = _mjpeg_frame_spans(buf)
+    assert [e - s for s, e in spans] == [len(f1), len(f2), len(f1)]
+    assert [buf[s:e] for s, e in spans] == [f1, f2, f1]
+    # truncated trailing frame is skipped, preceding frames still found
+    spans2 = _mjpeg_frame_spans(f1 + f2[:-1])
+    assert [e - s for s, e in spans2] == [len(f1)]
+
+
+def test_frame_sample_mjpeg_and_stub(spark):
+    from fastcdc_rs_spark.operators.multimodal import frame_sample
+
+    frames = [_fake_jpeg(bytes([i, i + 1, i + 2])) for i in range(6)]
+    frames[4] = frames[0]  # frame 4 duplicates frame 0
+    mjpeg = b"".join(frames)
+    stub_payload = bytes(range(256)) * 20  # non-JPEG -> slice stub
+    media = spark.createDataFrame(
+        [(1, bytearray(mjpeg)), (2, bytearray(stub_payload))],
+        "media_id long, payload binary",
+    )
+    rows = frame_sample(media, every_n=2).collect()
+    mj = sorted((r.frame_idx, r.frame_hash) for r in rows if r.media_id == 1)
+    assert [i for i, _ in mj] == [0, 2, 4]
+    by_idx = dict(mj)
+    assert by_idx[0] == by_idx[4] and by_idx[0] != by_idx[2]  # real content hash
+    st = sorted(r.frame_idx for r in rows if r.media_id == 2)
+    assert st == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
