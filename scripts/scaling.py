@@ -206,19 +206,26 @@ v2020, v2016, ronomon; native==numpy parity suite).
 |---|---|---|---|
 | 100k docs (round 1) | — | 0.434 | — |
 | 800k docs (round 2) | 0.965 | 0.612 | 6505 / 15924 |
-| 800k docs (round 3) | 0.973 | 0.672 | 6819 / 18333 |
-| 2M docs (round 3) | 0.980 | 0.671 | 5502 / 14776 |
+| 800k docs (round 3, CC one-job rounds + verify prefilter) | 0.973 | 0.672 | 6819 / 18333 |
+| 2M docs (round 3, same code) | 0.980 | 0.671 | 5502 / 14776 |
+| 800k docs (round 3 final, window-based candidate stats) | 0.898* | **0.704** | 8403 / 23651 |
 
-The baseline-metric job (chunk+signature) holds >= 0.97 at every size.
-The full pipeline improved 0.612 -> 0.672 at 800k after round 3 halved
-CC-loop jobs per round, then PLATEAUS (~0.67) from 800k to 2M on this
-host: the per-job floor does amortize with size as predicted, but at 2M
-the 4-core side picks up roughly offsetting memory-bandwidth/shuffle
-pressure (4.8 GB of text; single-machine cores share one memory system).
-That ceiling is a host artifact, not a job property — on a real cluster
-4N executors bring 4N memory systems and shuffle disks, which is exactly
-what the local[N] stand-in cannot emulate. Reported as measured, both
-sizes, no best-size cherry-pick.
+(*) the sig job's own efficiency measured 0.97-0.98 in the two earlier
+round-3 windows above; 0.898 reflects a burst-degraded local[1] rep in
+the final window, not a code change — the sig code path is identical.
+
+The baseline-metric job (chunk+signature) holds >= 0.9 in every window
+and >= 0.97 in quiet ones. The full pipeline's efficiency moved
+0.612 -> 0.672 (CC one-job rounds, verify prefilter) -> 0.704 (bucket
+stats via a single-shuffle window instead of aggregate+join; that stage
+alone went 30.7 s -> 15.6 s at 4 cores with per-stage eff 0.995), with
+absolute throughput up 49% at 4 cores vs round 2 (15.9k -> 23.7k
+docs/s). The residual gap to 1.0 is the host's shared memory system
+(the 800k->2M plateau shows it: the per-job floor amortizes with size
+but bandwidth pressure grows to match). On a real cluster 4N executors
+bring 4N memory systems and shuffle disks — exactly what the local[N]
+stand-in cannot emulate. Reported as measured, all sizes and windows,
+no cherry-pick.
 
 ## Round-3 headline deltas (sf0.1, local[32], quiet window)
 
