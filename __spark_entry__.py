@@ -27,6 +27,7 @@ from fastcdc_rs_spark.kernel import ChunkerConfig
 from fastcdc_rs_spark.operators.chunk import chunk_documents
 from fastcdc_rs_spark.operators.components import connected_components
 from fastcdc_rs_spark.operators.dedup import (
+    contamination_flags,
     dedup_flags,
     exact_duplicates,
     ngram_jaccard_pairs,
@@ -139,6 +140,15 @@ def q_ngram_jaccard_capped(spark, sf):
     return ngram_jaccard_pairs(
         _docs(spark, sf), n=3, min_jaccard=0.5, df_cap=8
     ).orderBy("a", "b")
+
+
+def q_benchmark_contamination(spark, sf):
+    # GPT-3/C4-style decontamination: docs sharing any token n-gram with
+    # the "benchmark" set (here: doc_id < 20 stands in for an eval set).
+    # n=5 because the driver docs are 10-99 tokens; production uses 13.
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") < 20)
+    return contamination_flags(docs, bench, n=5).orderBy("doc_id")
 
 
 def q_substring_pairs_capped(spark, sf):
@@ -651,6 +661,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "ngram_cc": q_ngram_cc,
+        "benchmark_contamination": q_benchmark_contamination,
         "substring_pairs": q_substring_pairs,
         "substring_pairs_capped": q_substring_pairs_capped,
         "suffix_substring_pairs": q_suffix_substring_pairs,
@@ -687,17 +698,24 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
-_GRAMS = f"""
-grams AS (
+def _grams_sql(n: int, name: str = "grams") -> str:
+    """DuckDB CTE for the distinct md5-hashed token ``n``-grams of the
+    documents table — the oracle twin of operators.dedup.token_ngrams
+    (docs with fewer than n tokens contribute their whole sequence)."""
+    return f"""
+{name} AS (
   SELECT DISTINCT doc_id, {_H.format(x='g')} AS ngram_hash
   FROM (
     SELECT doc_id,
-           CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
-                ELSE array_to_string(toks[i:i+2], ' ') END AS g
+           CASE WHEN len(toks) < {n} THEN array_to_string(toks, ' ')
+                ELSE array_to_string(toks[i:i+{n - 1}], ' ') END AS g
     FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-2, 1))) AS i)
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-{n - 1}, 1))) AS i)
   )
 )"""
+
+
+_GRAMS = _grams_sql(3)
 
 _JACCARD_PAIRS = f"""
 WITH {_GRAMS},
@@ -883,6 +901,20 @@ def oracle_sql() -> dict[str, str]:
           JOIN sizes sb ON inter.b = sb.doc_id
         )
         SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b
+    """
+
+    sql["benchmark_contamination"] = f"""
+        WITH {_grams_sql(5, "g5").lstrip()},
+        bg AS (SELECT DISTINCT ngram_hash FROM g5 WHERE doc_id < 20),
+        hits AS (
+          SELECT g5.doc_id, count(*) AS n
+          FROM g5 JOIN bg USING (ngram_hash) GROUP BY g5.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n, 0) AS n_hits,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
     """
 
     sql["ngram_cc"] = (

@@ -4,9 +4,11 @@ from .chunk import chunk_documents, chunks_udf
 from .components import connected_components
 from .dedup import (
     char_ngrams,
+    contamination_flags,
     dedup_flags,
     exact_duplicates,
     ngram_jaccard_pairs,
+    remove_duplicate_lines,
     substring_pairs,
     token_ngrams,
 )
@@ -66,6 +68,8 @@ __all__ = [
     "media_metadata",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "contamination_flags",
+    "remove_duplicate_lines",
     "quality_scores",
     "rhp_buckets",
     "simhash64",

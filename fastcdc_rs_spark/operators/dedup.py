@@ -29,6 +29,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "char_ngrams",
     "substring_pairs",
+    "contamination_flags",
+    "remove_duplicate_lines",
 ]
 
 
@@ -250,3 +252,88 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
     )
     out._graft_caches = caches
     return out
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_hits, contaminated) — benchmark decontamination for
+    training corpora: a document is contaminated if it shares any token
+    n-gram with the benchmark set (the GPT-3/C4 13-gram rule; ``n`` is
+    configurable because short-document corpora need smaller windows).
+    ``n_hits`` counts the doc's DISTINCT n-grams found in the benchmark.
+
+    Scale shape: the benchmark side is small by nature (eval sets are
+    thousands of documents, not billions), so its distinct gram set is
+    BROADCAST — the corpus-side gram table joins against it map-side with
+    no shuffle beyond the per-doc gram explode, and the per-doc hit count
+    is a partial-aggregated groupBy on doc_id. The corpus is never
+    shuffled on the gram key.
+    """
+    bgrams = (
+        token_ngrams(benchmark, n, text_col, id_col)
+        .select("ngram_hash")
+        .distinct()
+    )
+    grams = token_ngrams(docs, n, text_col, id_col)
+    hits = (
+        grams.join(F.broadcast(bgrams), "ngram_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def remove_duplicate_lines(docs: DataFrame, sep: str = "\n",
+                           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, n_kept, cleaned_text) — corpus-level duplicate
+    line removal (the C4/Gopher boilerplate rule): every distinct line
+    survives in exactly ONE place across the whole corpus — its first
+    occurrence in (doc_id, position) order — and every other copy
+    (including within-document repeats) is dropped. ``cleaned_text``
+    rejoins a doc's surviving lines in their original order.
+
+    One shuffle on the line hash picks the canonical occurrence
+    (min(struct(doc_id, pos)) — a single aggregate, no window over the
+    corpus); one groupBy on doc_id rebuilds documents. Line content never
+    ships twice: the canonical table carries only (hash, doc_id, pos).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_hash", md5_long("line"))
+    canon = lines.groupBy("line_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("first_at")
+    )
+    kept = (
+        lines.join(canon, "line_hash")
+        .where(
+            (F.col(id_col) == F.col("first_at.d")) & (F.col("pos") == F.col("first_at.p"))
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            sep, F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                             lambda s: s["line"])
+        ).alias("cleaned_text"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -756,3 +756,52 @@ def test_frame_sample_mjpeg_and_stub(spark):
     assert by_idx[0] == by_idx[4] and by_idx[0] != by_idx[2]  # real content hash
     st = sorted(r.frame_idx for r in rows if r.media_id == 2)
     assert st == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+
+def test_contamination_flags(spark):
+    from fastcdc_rs_spark.operators.dedup import contamination_flags
+    from fastcdc_rs_spark.plans import executed_plan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a totally different sentence with no overlap here"),
+            (2, "quick brown fox jumps over something else entirely"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 0)
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in contamination_flags(docs, bench, n=5).collect()}
+    assert out[0][1] and out[0][0] == 5        # benchmark doc: all 5 5-grams hit
+    assert out[1] == (0, False)
+    # doc 2 shares exactly "quick brown fox jumps over" with doc 0
+    assert out[2] == (1, True)
+    assert out[3] == (0, False)                # whole-seq gram, no match
+    # the benchmark gram set must be broadcast (never shuffles the corpus
+    # on the gram key)
+    plan = executed_plan(contamination_flags(docs, bench, n=5))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_remove_duplicate_lines(spark):
+    from fastcdc_rs_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\nshared line\nbeta"),
+            (1, "shared line\ngamma\nshared line"),   # cross-doc + in-doc dup
+            (2, "delta\ndelta\nepsilon"),             # in-doc dup only
+            (3, "shared line"),                       # fully duplicate doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_lines, r.n_kept, r.cleaned_text)
+           for r in remove_duplicate_lines(docs).collect()}
+    assert out[0] == (3, 3, "alpha\nshared line\nbeta")   # first occurrences win
+    assert out[1] == (3, 1, "gamma")                      # both copies dropped
+    assert out[2] == (3, 2, "delta\nepsilon")             # in-doc dedup, order kept
+    assert out[3] == (1, 0, "")                           # everything was boilerplate
+    # total survivors == number of distinct lines in the corpus
+    assert sum(k for _, k, _ in out.values()) == 6
