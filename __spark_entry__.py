@@ -151,6 +151,32 @@ def q_benchmark_contamination(spark, sf):
     return contamination_flags(docs, bench, n=5).orderBy("doc_id")
 
 
+def q_stratified_sample(spark, sf):
+    # data-mixing step: per-language keep rates, deterministic
+    # hash-Bernoulli draw (reproducible across runs/engines — rand()
+    # could never oracle-check)
+    from fastcdc_rs_spark.operators.mixing import stratified_sample
+
+    docs = _docs(spark, sf)
+    return (
+        stratified_sample(
+            docs,
+            {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.75, "zh": 0.1},
+            seed=7,
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_scores(spark, sf):
+    # Gopher-style repetition quality signals over token 2-gram
+    # occurrences (2-grams because driver docs are 10-99 tokens)
+    from fastcdc_rs_spark.operators.mixing import repetition_scores
+
+    return repetition_scores(_docs(spark, sf), n=2).orderBy("doc_id")
+
+
 def q_substring_pairs_capped(spark, sf):
     # production default for B10: hot boilerplate grams (df > cap) are
     # dropped before bucket pair expansion; drops are logged via metrics
@@ -662,6 +688,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "ngram_cc": q_ngram_cc,
         "benchmark_contamination": q_benchmark_contamination,
+        "stratified_sample": q_stratified_sample,
+        "repetition_scores": q_repetition_scores,
         "substring_pairs": q_substring_pairs,
         "substring_pairs_capped": q_substring_pairs_capped,
         "suffix_substring_pairs": q_suffix_substring_pairs,
@@ -915,6 +943,37 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         ORDER BY d.doc_id
+    """
+
+    sql["stratified_sample"] = """
+        WITH r(lang, rate) AS (
+          VALUES ('en', 1.0), ('de', 0.5), ('fr', 0.25), ('es', 0.75), ('zh', 0.1)
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN r ON d.lang = r.lang
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
+              % 1000000 < coalesce(r.rate, 1.0) * 1000000
+        ORDER BY d.doc_id
+    """
+
+    # token 2-gram OCCURRENCES (no DISTINCT — repetition needs counts)
+    sql["repetition_scores"] = f"""
+        WITH occ AS (
+          SELECT doc_id, {_H.format(x='g')} AS g
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 2 THEN array_to_string(toks, ' ')
+                        ELSE array_to_string(toks[i:i+1], ' ') END AS g
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-1, 1))) AS i)
+          )
+        ),
+        pg AS (SELECT doc_id, g, count(*) AS c FROM occ GROUP BY doc_id, g)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               round(max(c)::DOUBLE / sum(c), 6) AS top_gram_frac,
+               round((sum(c) - count(*))::DOUBLE / sum(c), 6) AS dup_gram_frac
+        FROM pg GROUP BY doc_id ORDER BY doc_id
     """
 
     sql["ngram_cc"] = (

@@ -25,6 +25,7 @@ from .knn import (
 )
 from .lsh import candidate_pairs
 from .minhash import minhash_signatures
+from .mixing import repetition_scores, stratified_sample
 from .multimodal import frame_sample, image_features, media_metadata
 from .simhash import hamming_distance_expr, simhash64, simhash_bands
 from .suffix import duplicate_substrings, substring_pairs_exact
@@ -70,6 +71,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "contamination_flags",
     "remove_duplicate_lines",
+    "stratified_sample",
+    "repetition_scores",
     "quality_scores",
     "rhp_buckets",
     "simhash64",

@@ -1,0 +1,108 @@
+"""Corpus curation operators: deterministic stratified sampling (data
+mixing) and repetition scoring (training-data pipeline ops).
+
+* ``stratified_sample`` — per-stratum keep rates (the "30% web / 10% of
+  language X" data-mixing step every LLM corpus build runs). The draw is
+  a DETERMINISTIC hash-Bernoulli on (doc_id, seed) — not ``rand()`` — so
+  the sample is reproducible across runs, engines, retries, and resumed
+  jobs: re-running a failed partition keeps exactly the same documents,
+  which is what makes sampling compatible with checkpoint/resume (B13)
+  and with the DuckDB oracle.
+* ``repetition_scores`` — the Gopher-style repetition quality signals:
+  the fraction of token n-gram occurrences taken by the single most
+  frequent n-gram, and the fraction that are repeats of an earlier
+  occurrence. High values flag boilerplate/spam for the keep-mask.
+
+Both are pure JVM expressions + aggregations (no UDFs) and both have
+exact DuckDB twins via the portable md5 hash (functions/portable.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.plan_safe import explode_once
+from ..functions.portable import md5_long
+
+__all__ = ["stratified_sample", "repetition_scores"]
+
+_BUCKETS = 1_000_000  # hash-Bernoulli resolution: rates quantize to 1e-6
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "lang",
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``docs`` kept with probability ``rates[stratum]``
+    (``default_rate`` for unlisted strata), deterministically in
+    (doc_id, seed).
+
+    Scale shape: the rate table is a handful of rows — broadcast join,
+    no shuffle of the corpus at all; the filter is a pure map stage that
+    composes with scan pruning. Changing ``seed`` redraws the whole
+    sample; keeping it fixed makes downsampling idempotent across
+    re-runs.
+    """
+    spark = docs.sparkSession
+    rate_rows = [(k, float(v)) for k, v in sorted(rates.items())]
+    rate_df = spark.createDataFrame(rate_rows, f"{strata_col} string, _rate double")
+    bucket = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ) % F.lit(_BUCKETS)
+    return (
+        docs.join(F.broadcast(rate_df), strata_col, "left")
+        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
+        .where(bucket < (F.col("_rate") * _BUCKETS))
+        .drop("_rate")
+    )
+
+
+def repetition_scores(docs: DataFrame, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_grams, top_gram_frac, dup_gram_frac) — repetition
+    signals over token n-gram OCCURRENCES (not the distinct set):
+
+    * ``top_gram_frac`` = occurrences of the most frequent n-gram / all
+      n-gram occurrences (Gopher's "fraction in most common n-gram");
+    * ``dup_gram_frac`` = fraction of occurrences that repeat an earlier
+      one = 1 - distinct/total (Gopher's "fraction in duplicated
+      n-grams" shape).
+
+    Docs with fewer than n tokens score on their whole token sequence
+    (one occurrence, both fractions degenerate: top=1, dup=0). One
+    explode + two aggregations, shuffled on (doc, gram) then doc.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    occ = explode_once(docs, grams, "ngram", keep=[id_col]).select(
+        id_col, md5_long("ngram").alias("g")
+    )
+    per_gram = occ.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.max("c").alias("_top"),
+            F.count(F.lit(1)).alias("_distinct"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("_top") / F.col("n_grams"), 6).alias("top_gram_frac"),
+            F.round(
+                (F.col("n_grams") - F.col("_distinct")) / F.col("n_grams"), 6
+            ).alias("dup_gram_frac"),
+        )
+    )

@@ -805,3 +805,47 @@ def test_remove_duplicate_lines(spark):
     assert out[3] == (1, 0, "")                           # everything was boilerplate
     # total survivors == number of distinct lines in the corpus
     assert sum(k for _, k, _ in out.values()) == 6
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    from fastcdc_rs_spark.operators.mixing import stratified_sample
+    from fastcdc_rs_spark.plans import assert_broadcast_join
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh", f"t{i}") for i in range(4000)],
+        "doc_id long, lang string, text string",
+    )
+    rates = {"en": 0.5, "zh": 0.1}
+    kept = stratified_sample(docs, rates, seed=3, strata_col="lang")
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in stratified_sample(
+        docs, rates, seed=3, strata_col="lang").collect()}
+    assert ids1 == ids2  # deterministic: identical redraw
+    n_en = sum(1 for i in ids1 if i % 2 == 0)
+    n_zh = len(ids1) - n_en
+    assert abs(n_en / 2000 - 0.5) < 0.05 and abs(n_zh / 2000 - 0.1) < 0.03
+    # different seed -> different sample; unlisted stratum -> default rate
+    ids3 = {r.doc_id for r in stratified_sample(
+        docs, rates, seed=4, strata_col="lang").collect()}
+    assert ids3 != ids1
+    all_kept = stratified_sample(docs, {}, default_rate=1.0, strata_col="lang")
+    assert all_kept.count() == 4000
+    assert_broadcast_join(kept)  # rate table never shuffles the corpus
+
+
+def test_repetition_scores_known_values(spark):
+    from fastcdc_rs_spark.operators.mixing import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),      # 2-grams: ab,ba,ab,ba,ab -> top 3/5, dup 3/5
+            (1, "w x y z"),          # wx,xy,yz all unique -> top 1/3, dup 0
+            (2, "solo"),             # < 2 tokens: whole-seq gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_grams, r.top_gram_frac, r.dup_gram_frac)
+           for r in repetition_scores(docs, n=2).collect()}
+    assert out[0] == (5, 0.6, 0.6)
+    assert out[1] == (3, round(1 / 3, 6), 0.0)
+    assert out[2] == (1, 1.0, 0.0)
