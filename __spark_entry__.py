@@ -945,14 +945,17 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
+    # integer cutoffs (rate * 1e6, pre-rounded) so the keep boundary is
+    # bit-identical to Spark's — see operators/mixing.stratified_sample
     sql["stratified_sample"] = """
-        WITH r(lang, rate) AS (
-          VALUES ('en', 1.0), ('de', 0.5), ('fr', 0.25), ('es', 0.75), ('zh', 0.1)
+        WITH r(lang, cut) AS (
+          VALUES ('en', 1000000), ('de', 500000), ('fr', 250000),
+                 ('es', 750000), ('zh', 100000)
         )
         SELECT d.doc_id, d.lang, d.source
         FROM documents d LEFT JOIN r ON d.lang = r.lang
         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
-              % 1000000 < coalesce(r.rate, 1.0) * 1000000
+              % 1000000 < coalesce(r.cut, 1000000)
         ORDER BY d.doc_id
     """
 

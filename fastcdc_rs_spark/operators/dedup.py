@@ -25,6 +25,7 @@ from ..functions.portable import md5_long
 __all__ = [
     "exact_duplicates",
     "dedup_flags",
+    "token_gram_expr",
     "token_ngrams",
     "ngram_jaccard_pairs",
     "char_ngrams",
@@ -72,6 +73,25 @@ def dedup_flags(docs: DataFrame, text_col: str = "text",
     )
 
 
+def token_gram_expr(text_col: str, n: int, distinct: bool = True):
+    """Array expression of the token n-grams of ``text_col`` — the ONE
+    place Spark-side tokenization is defined, shared by ``token_ngrams``
+    (distinct set) and ``mixing.repetition_scores`` (occurrences) so it
+    can never drift from the DuckDB oracle twin (__spark_entry__
+    ``_grams_sql``) in only one operator. Docs with fewer than n tokens
+    contribute their whole token sequence as one n-gram."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(grams)
+
+
 def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(doc_id, ngram_hash) — distinct md5-hashed token n-grams, exploded.
@@ -79,17 +99,7 @@ def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     Docs with fewer than n tokens contribute their whole token sequence as
     one n-gram.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        )
-    )
+    grams = token_gram_expr(text_col, n, distinct=True)
     return explode_once(_spread(docs), grams, "ngram", keep=[id_col]).select(
         id_col, md5_long("ngram").alias("ngram_hash")
     ).distinct()

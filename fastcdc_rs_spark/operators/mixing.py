@@ -49,16 +49,22 @@ def stratified_sample(
     re-runs.
     """
     spark = docs.sparkSession
-    rate_rows = [(k, float(v)) for k, v in sorted(rates.items())]
-    rate_df = spark.createDataFrame(rate_rows, f"{strata_col} string, _rate double")
+    # INTEGER cutoffs, not rate*1e6 in float: 0.1*1e6 is 100000.00000000001
+    # in IEEE double, so a doc whose hash bucket lands exactly on the
+    # boundary would be kept by a float comparison but dropped by an
+    # exact-decimal engine (the DuckDB oracle) — integer cutoffs on both
+    # sides make the boundary bit-identical. Rates quantize to 1e-6.
+    cut_rows = [(k, int(round(float(v) * _BUCKETS))) for k, v in sorted(rates.items())]
+    cut_df = spark.createDataFrame(cut_rows, f"{strata_col} string, _cut long")
+    default_cut = int(round(float(default_rate) * _BUCKETS))
     bucket = md5_long(
         F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
     ) % F.lit(_BUCKETS)
     return (
-        docs.join(F.broadcast(rate_df), strata_col, "left")
-        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
-        .where(bucket < (F.col("_rate") * _BUCKETS))
-        .drop("_rate")
+        docs.join(F.broadcast(cut_df), strata_col, "left")
+        .withColumn("_cut", F.coalesce("_cut", F.lit(default_cut)))
+        .where(bucket < F.col("_cut"))
+        .drop("_cut")
     )
 
 
@@ -77,15 +83,9 @@ def repetition_scores(docs: DataFrame, n: int = 3, text_col: str = "text",
     (one occurrence, both fractions degenerate: top=1, dup=0). One
     explode + two aggregations, shuffled on (doc, gram) then doc.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    from .dedup import token_gram_expr
+
+    grams = token_gram_expr(text_col, n, distinct=False)
     occ = explode_once(docs, grams, "ngram", keep=[id_col]).select(
         id_col, md5_long("ngram").alias("g")
     )

@@ -87,7 +87,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
         data = payload[pos + 8: pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -102,7 +104,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
         )
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt deflate stream → contract is ValueError
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -142,6 +147,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
         return plte[px[:, :, 0]]
     if color == 0:
         return np.repeat(px, 3, axis=2)
@@ -388,12 +395,17 @@ def _jpeg_end(buf: bytes, start: int) -> int | None:
             return None
         j += 2 + seglen
         if m == 0xDA:          # SOS: entropy-coded data follows
-            while j + 1 < n and not (
-                buf[j] == 0xFF
-                and buf[j + 1] != 0x00
-                and not (0xD0 <= buf[j + 1] <= 0xD7)
-            ):
-                j += 1
+            # jump between 0xFF candidates with find() instead of a
+            # per-byte Python loop — entropy runs without 0xFF are
+            # skipped at memchr speed
+            while True:
+                j = buf.find(b"\xff", j)
+                if j < 0 or j + 1 >= n:
+                    return None
+                nxt = buf[j + 1]
+                if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                    break  # a real marker: outer loop handles it
+                j += 2  # stuffed byte / restart marker: still entropy data
     return None
 
 
@@ -428,7 +440,11 @@ def frame_sample(media: DataFrame, every_n: int = 10,
     payloads keep the declared STUB: frames are fixed-size byte slices,
     all JVM-side (sequence + substr + xxhash64).
     """
-    is_mjpeg = F.hex(F.substring(F.col(payload_col), 1, 2)) == "FFD8"
+    # null-safe: NULL payloads must take the stub branch (matching the
+    # pre-split behavior), not vanish from both sides of the union
+    is_mjpeg = F.coalesce(
+        F.hex(F.substring(F.col(payload_col), 1, 2)) == "FFD8", F.lit(False)
+    )
 
     frame_bytes = 256
     n_frames = F.floor(F.length(F.col(payload_col)) / frame_bytes).cast("int")
@@ -455,7 +471,7 @@ def frame_sample(media: DataFrame, every_n: int = 10,
 
     out_schema = StructType(
         [
-            StructField("media_id", LongType(), False),
+            StructField(id_col, LongType(), False),
             StructField("frame_idx", IntegerType(), False),
             StructField("frame_hash", LongType(), False),
         ]
@@ -478,7 +494,7 @@ def frame_sample(media: DataFrame, every_n: int = 10,
                         int.from_bytes(digest[:8], "big", signed=True)
                     )
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs_, "frame_hash": hashes}
+                {id_col: ids, "frame_idx": idxs_, "frame_hash": hashes}
             )
 
     real = (

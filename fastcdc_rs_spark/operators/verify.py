@@ -31,7 +31,17 @@ __all__ = ["verify_pairs"]
 
 def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
                  id_col: str = "doc_id", shingles_col: str = "shingles") -> DataFrame:
-    """(a, b, jaccard) for pairs with exact Jaccard >= threshold."""
+    """(a, b, jaccard) for pairs with exact Jaccard >= threshold.
+
+    ``shingled`` arrays are treated as SETS: they are deduplicated here
+    (per doc, once — row-linear, before any pair join) so the size-based
+    union identity and the size-ratio prune stay exact even for callers
+    whose arrays contain repeats. The kernel pipeline already emits
+    sorted-unique shingles, for which the array_distinct is a no-op scan.
+    """
+    shingled = shingled.select(
+        F.col(id_col), F.array_distinct(shingles_col).alias(shingles_col)
+    )
     sizes = shingled.select(
         F.col(id_col), F.size(shingles_col).alias("_sz")
     )

@@ -849,3 +849,73 @@ def test_repetition_scores_known_values(spark):
     assert out[0] == (5, 0.6, 0.6)
     assert out[1] == (3, round(1 / 3, 6), 0.0)
     assert out[2] == (1, 1.0, 0.0)
+
+
+def test_png_corrupt_inputs_raise_value_error():
+    # the fallback contract: EVERY malformed PNG fails with ValueError
+    # (never zlib.error/struct.error/IndexError escaping the decoder)
+    import struct, zlib
+
+    from fastcdc_rs_spark.operators.multimodal import _decode_image, _decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # corrupt deflate stream in IDAT
+    bad_idat = magic + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x99" * 20) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        _decode_png(bad_idat)
+    # truncated IHDR payload
+    with pytest.raises(ValueError):
+        _decode_png(magic + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    # palette index beyond PLTE
+    idx = np.array([[3]], dtype=np.uint8)   # palette has 2 entries
+    pp = _encode_png(idx, color=3, filters=[0], plte=np.zeros((2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        _decode_png(pp)
+    # _decode_image surfaces the same catchable ValueError (no PIL in
+    # this container, and faking pixels for a CORRUPT real PNG would be
+    # worse than erroring); callers can gate with SPARK_GRAFT_FAKE_MEDIA
+    with pytest.raises(ValueError):
+        _decode_image(bad_idat)
+
+
+def test_stratified_sample_boundary_and_frame_sample_nulls(spark):
+    from fastcdc_rs_spark.operators.mixing import _BUCKETS, stratified_sample
+    from fastcdc_rs_spark.operators.multimodal import frame_sample
+
+    # integer-cutoff boundary: a doc whose bucket == cut must be DROPPED
+    # on both engines (bucket < cut, exact integers — no float fuzz)
+    from fastcdc_rs_spark.functions.portable import md5_long
+    docs = spark.createDataFrame(
+        [(i, "xx", "t") for i in range(500)], "doc_id long, lang string, text string"
+    )
+    bucketed = docs.select(
+        "doc_id",
+        (md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":0")))
+         % F.lit(_BUCKETS)).alias("bucket"),
+    ).collect()
+    probe = min(bucketed, key=lambda r: r.bucket)  # smallest bucket value
+    rate = probe.bucket / _BUCKETS
+    kept = {r.doc_id for r in stratified_sample(
+        docs, {"xx": rate}, seed=0, strata_col="lang").collect()}
+    assert probe.doc_id not in kept  # bucket == cut -> excluded exactly
+
+    # NULL payloads take the stub branch instead of vanishing
+    media = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"\x01" * 512))],
+        "media_id long, payload binary",
+    )
+    rows = frame_sample(media, every_n=1).collect()
+    assert {r.media_id for r in rows} == {1, 2}
+
+    # custom id_col works across both branches (union by name)
+    media2 = spark.createDataFrame(
+        [(7, bytearray(_fake_jpeg(b"\x01\x02"))), (8, bytearray(b"zz" * 300))],
+        "vid long, payload binary",
+    )
+    rows2 = frame_sample(media2, every_n=1, id_col="vid").collect()
+    assert {r.vid for r in rows2} == {7, 8}
