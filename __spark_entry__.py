@@ -456,6 +456,16 @@ def q_simhash(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_cdc_dedup_stats(spark, sf):
+    # kernel-backed one-row CDC storage-dedup summary (rows-only check;
+    # value parity vs the single-node kernel pinned in tests) — the
+    # reference chunker's own use case: bytes saved by storing every
+    # repeated content-defined chunk once
+    from fastcdc_rs_spark.operators.chunk import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(spark, sf), TINY)
+
+
 def q_dedup_clusters(spark, sf):
     # full pipeline; driver corpus has near-dup structure → non-trivial
     clusters, _, _ = near_dup_clusters(_docs(spark, sf), CFG)
@@ -716,6 +726,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash_sql": q_simhash_sql,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "cdc_dedup_stats": q_cdc_dedup_stats,
         "dedup_clusters_sql": q_dedup_clusters_sql,
 }
 

@@ -1,6 +1,6 @@
 """DataFrame-level pipeline operators (SURVEY.md §2.B)."""
 
-from .chunk import chunk_documents, chunks_udf
+from .chunk import cdc_dedup_stats, chunk_documents, chunks_udf
 from .components import connected_components
 from .dedup import (
     char_ngrams,
@@ -73,6 +73,7 @@ __all__ = [
     "remove_duplicate_lines",
     "stratified_sample",
     "repetition_scores",
+    "cdc_dedup_stats",
     "quality_scores",
     "rhp_buckets",
     "simhash64",

@@ -35,6 +35,7 @@ from ..kernel.batch import chunk_batch_columnar
 __all__ = [
     "CHUNK_SCHEMA",
     "CHUNK_ARRAYS_SCHEMA",
+    "cdc_dedup_stats",
     "chunk_documents",
     "chunk_arrays_udf",
     "chunks_expr",
@@ -189,4 +190,49 @@ def chunk_documents(
         F.col("c.hash").alias("hash"),
         F.col("c.offset").alias("offset"),
         F.col("c.length").alias("length"),
+    )
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    cfg: ChunkerConfig,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row CDC storage-dedup summary — the measure the reference
+    chunker exists for (fastcdc-rs README: content-defined chunking for
+    data deduplication): if every repeated chunk were stored once in a
+    hash-addressed store, how many bytes survive?
+
+    Columns: (n_docs, total_bytes, n_chunks, n_unique_chunks,
+    unique_bytes, dedup_ratio) with dedup_ratio = 1 - unique/total
+    (0 = nothing shared). Chunks are identified by (hash, length) —
+    the content-addressed-store model. Rounded to 6 for comparisons.
+
+    Scale shape: one groupBy on the chunk hash (map-side combined) and
+    one global aggregate; no joins, no row-level Python beyond the
+    Arrow chunk kernel.
+    """
+    chunks = chunk_documents(docs, cfg, content_col=content_col, id_cols=(id_col,))
+    per_chunk = chunks.groupBy("hash", "length").agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+    uniq = per_chunk.agg(
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum("length").alias("unique_bytes"),
+        F.sum(F.col("length") * F.col("copies")).alias("total_bytes"),
+        F.sum("copies").alias("n_chunks"),
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(uniq).select(
+        "n_docs",
+        "total_bytes",
+        "n_chunks",
+        "n_unique_chunks",
+        "unique_bytes",
+        F.round(
+            F.lit(1.0)
+            - F.col("unique_bytes").cast("double") / F.col("total_bytes").cast("double"),
+            6,
+        ).alias("dedup_ratio"),
     )

@@ -919,3 +919,42 @@ def test_stratified_sample_boundary_and_frame_sample_nulls(spark):
     )
     rows2 = frame_sample(media2, every_n=1, id_col="vid").collect()
     assert {r.vid for r in rows2} == {7, 8}
+
+
+def test_cdc_dedup_stats_vs_single_node(spark):
+    # the storage-dedup summary must equal a single-node computation with
+    # the same kernel: duplicated docs share every chunk, so unique bytes
+    # collapse to the distinct texts' chunks
+    from collections import Counter
+
+    from fastcdc_rs_spark.kernel import ChunkerConfig, chunk_bytes
+    from fastcdc_rs_spark.operators.chunk import cdc_dedup_stats
+
+    cfg = ChunkerConfig(64, 256, 1024)
+    texts = [
+        "alpha " * 200,
+        "alpha " * 200,          # exact dup of doc 0
+        "beta " * 300,
+        ("alpha " * 200) + ("beta " * 300),  # concatenation shares chunks
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = cdc_dedup_stats(docs, cfg).first()
+
+    counts: Counter = Counter()
+    total = 0
+    n_chunks = 0
+    for t in texts:
+        for h, off, ln in chunk_bytes(t.encode(), cfg):
+            counts[(h, ln)] += 1
+            total += ln
+            n_chunks += 1
+    unique_bytes = sum(ln for (_, ln) in counts)
+    assert row.n_docs == 4
+    assert row.total_bytes == total == sum(len(t) for t in texts)
+    assert row.n_chunks == n_chunks
+    assert row.n_unique_chunks == len(counts)
+    assert row.unique_bytes == unique_bytes
+    assert abs(row.dedup_ratio - round(1 - unique_bytes / total, 6)) < 1e-9
+    assert row.dedup_ratio > 0.3  # the dup structure must actually dedup
