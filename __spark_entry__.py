@@ -177,6 +177,24 @@ def q_repetition_scores(spark, sf):
     return repetition_scores(_docs(spark, sf), n=2).orderBy("doc_id")
 
 
+def q_duplicate_line_removal(spark, sf):
+    # corpus-wide duplicate-line removal (C4/Gopher boilerplate rule).
+    # The driver corpus has no newline/sentence structure, so the "lines"
+    # are whitespace-delimited tokens (sep=" ") — a degenerate but fully
+    # valid record structure that exercises the operator's whole
+    # semantics: first occurrence in (doc_id, pos) order wins corpus-wide,
+    # in-doc repeats drop, cleaned_text rebuilds survivors in order.
+    from fastcdc_rs_spark.operators.dedup import remove_duplicate_lines
+
+    out = remove_duplicate_lines(_docs(spark, sf), sep=" ")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "cleaned_text",
+    ).orderBy("doc_id")
+
+
 def q_substring_pairs_capped(spark, sf):
     # production default for B10: hot boilerplate grams (df > cap) are
     # dropped before bucket pair expansion; drops are logged via metrics
@@ -700,6 +718,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "benchmark_contamination": q_benchmark_contamination,
         "stratified_sample": q_stratified_sample,
         "repetition_scores": q_repetition_scores,
+        "duplicate_line_removal": q_duplicate_line_removal,
         "substring_pairs": q_substring_pairs,
         "substring_pairs_capped": q_substring_pairs_capped,
         "suffix_substring_pairs": q_suffix_substring_pairs,
@@ -967,6 +986,36 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN r ON d.lang = r.lang
         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
               % 1000000 < coalesce(r.cut, 1000000)
+        ORDER BY d.doc_id
+    """
+
+    # corpus-wide duplicate-"line" removal with sep=' ' (lines == tokens);
+    # canonical occurrence = min (doc_id, pos) per line hash, exactly the
+    # operator's min(struct) aggregate; rebuild preserves position order
+    sql["duplicate_line_removal"] = f"""
+        WITH lines AS (
+          SELECT doc_id, i - 1 AS pos, toks[i] AS line,
+                 {_H.format(x='toks[i]')} AS h
+          FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+        ),
+        kept AS (
+          SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM lines
+          ) WHERE rn = 1
+        ),
+        rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(line, ' ' ORDER BY pos) AS cleaned_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(str_split(d.text, ' '))::BIGINT AS n_lines,
+               coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(r.cleaned_text, '') AS cleaned_text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         ORDER BY d.doc_id
     """
 

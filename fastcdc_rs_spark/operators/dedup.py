@@ -314,10 +314,17 @@ def remove_duplicate_lines(docs: DataFrame, sep: str = "\n",
     (min(struct(doc_id, pos)) — a single aggregate, no window over the
     corpus); one groupBy on doc_id rebuilds documents. Line content never
     ships twice: the canonical table carries only (hash, doc_id, pos).
+
+    ``sep`` is a LITERAL separator in both directions: the split pattern
+    is regex-quoted (``F.split`` takes a Java regex) so it always matches
+    the same bytes ``concat_ws`` re-inserts — ``sep=". "`` or ``"|"``
+    splits on the literal string, not on the regex metacharacters.
     """
+    import re
+
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "line"),
     ).withColumn("line_hash", md5_long("line"))
     canon = lines.groupBy("line_hash").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("first_at")
@@ -336,7 +343,7 @@ def remove_duplicate_lines(docs: DataFrame, sep: str = "\n",
         ).alias("cleaned_text"),
     )
     totals = docs.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+        F.col(id_col), F.size(F.split(F.col(text_col), re.escape(sep))).alias("n_lines")
     )
     return (
         totals.join(rebuilt, id_col, "left")

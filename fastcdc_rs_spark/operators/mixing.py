@@ -54,17 +54,20 @@ def stratified_sample(
     # boundary would be kept by a float comparison but dropped by an
     # exact-decimal engine (the DuckDB oracle) — integer cutoffs on both
     # sides make the boundary bit-identical. Rates quantize to 1e-6.
+    # collision-safe internal column (a user "_cut" column must survive
+    # untouched, like plan_safe's ordinal column)
+    cut_col = "__graft_cut"
     cut_rows = [(k, int(round(float(v) * _BUCKETS))) for k, v in sorted(rates.items())]
-    cut_df = spark.createDataFrame(cut_rows, f"{strata_col} string, _cut long")
+    cut_df = spark.createDataFrame(cut_rows, f"{strata_col} string, {cut_col} long")
     default_cut = int(round(float(default_rate) * _BUCKETS))
     bucket = md5_long(
         F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
     ) % F.lit(_BUCKETS)
     return (
         docs.join(F.broadcast(cut_df), strata_col, "left")
-        .withColumn("_cut", F.coalesce("_cut", F.lit(default_cut)))
-        .where(bucket < F.col("_cut"))
-        .drop("_cut")
+        .withColumn(cut_col, F.coalesce(cut_col, F.lit(default_cut)))
+        .where(bucket < F.col(cut_col))
+        .drop(cut_col)
     )
 
 

@@ -197,13 +197,21 @@ def media_metadata(media: DataFrame, payload_col: str = "payload",
 
 
 def image_features(media: DataFrame, payload_col: str = "payload",
-                   id_col: str = "media_id") -> DataFrame:
+                   id_col: str = "media_id", on_error: str = "fail") -> DataFrame:
     """(media_id, height, width, features array<float>[16]).
 
     mapInPandas so one Arrow batch of payloads is decoded + featurized per
     call; the feature vector is a channel-histogram (deterministic with the
     stub decoder). Output partitioning follows the input — no shuffle.
+
+    ``on_error``: per-record decode-error policy. ``"fail"`` (default)
+    raises, failing the task — the right contract for pinned test fixtures.
+    ``"skip"`` drops undecodable records (they vanish from the output; use
+    left-join semantics downstream) so one corrupt payload in a
+    corpus-scale job cannot kill the whole stage.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -217,13 +225,23 @@ def image_features(media: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             ids, hs, ws, feats = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = _decode_image(bytes(payload))
+                try:
+                    img = _decode_image(bytes(payload))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 hist, _ = np.histogram(img, bins=_FEATURE_DIM, range=(0, 256))
                 total = hist.sum() or 1
                 ids.append(mid)
                 hs.append(img.shape[0])
                 ws.append(img.shape[1])
                 feats.append((hist / total).astype(np.float32))
+            if not ids:
+                # an all-skipped batch must yield nothing: an empty pandas
+                # frame types `features` as float64, which Arrow cannot
+                # cast to list<float>
+                continue
             yield pd.DataFrame(
                 {"media_id": ids, "height": hs, "width": ws, "features": feats}
             )
@@ -232,7 +250,8 @@ def image_features(media: DataFrame, payload_col: str = "payload",
 
 
 def image_resize(media: DataFrame, height: int, width: int,
-                 payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+                 payload_col: str = "payload", id_col: str = "media_id",
+                 on_error: str = "fail") -> DataFrame:
     """(media_id, height, width, pixels binary): nearest-neighbor resize to
     (height, width), emitted as raw interleaved RGB bytes.
 
@@ -240,8 +259,11 @@ def image_resize(media: DataFrame, height: int, width: int,
     over the PIL decode and the stub); only the initial decode shares
     ``_decode_image``'s stub-vs-PIL gate. mapInPandas, one Arrow batch per
     call, no shuffle — at scale this runs as a map stage colocated with
-    the scan.
+    the scan. ``on_error`` as in :func:`image_features` — ``"skip"`` drops
+    undecodable records instead of failing the stage.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -255,13 +277,20 @@ def image_resize(media: DataFrame, height: int, width: int,
         for pdf in batches:
             ids, pix = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = _decode_image(bytes(payload))
+                try:
+                    img = _decode_image(bytes(payload))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 h_in, w_in = img.shape[0], img.shape[1]
                 rows = (np.arange(height) * h_in) // height
                 cols = (np.arange(width) * w_in) // width
                 out = img[rows][:, cols]
                 ids.append(mid)
                 pix.append(out.tobytes())
+            if not ids:
+                continue  # all-skipped batch: see image_features
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -439,6 +468,12 @@ def frame_sample(media: DataFrame, every_n: int = 10,
     (one ``mapInPandas`` batch per Arrow batch, no shuffle). Other
     payloads keep the declared STUB: frames are fixed-size byte slices,
     all JVM-side (sequence + substr + xxhash64).
+
+    Every input media emits AT LEAST one row: an SOI-led payload with no
+    complete JPEG frame (truncated single frame) yields one degraded row
+    ``(frame_idx=-1, frame_hash=md5-fold(payload))`` instead of silently
+    vanishing — downstream joins keep inner semantics, and the sentinel
+    index makes the degraded rows filterable.
     """
     # null-safe: NULL payloads must take the stub branch (matching the
     # pre-split behavior), not vanish from both sides of the union
@@ -485,6 +520,16 @@ def frame_sample(media: DataFrame, every_n: int = 10,
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 buf = bytes(payload)
                 spans = _mjpeg_frame_spans(buf)
+                if not spans:
+                    # malformed MJPEG (no complete frame): one degraded
+                    # row so the media never vanishes from the output
+                    digest = hashlib.md5(buf).digest()
+                    ids.append(mid)
+                    idxs_.append(-1)
+                    hashes.append(
+                        int.from_bytes(digest[:8], "big", signed=True)
+                    )
+                    continue
                 for k in range(0, len(spans), every_n):
                     s, e = spans[k]
                     digest = hashlib.md5(buf[s:e]).digest()

@@ -958,3 +958,85 @@ def test_cdc_dedup_stats_vs_single_node(spark):
     assert row.unique_bytes == unique_bytes
     assert abs(row.dedup_ratio - round(1 - unique_bytes / total, 6)) < 1e-9
     assert row.dedup_ratio > 0.3  # the dup structure must actually dedup
+
+
+def test_remove_duplicate_lines_literal_separator(spark):
+    # sep is LITERAL in both split sites (ADVICE r3): '.' or '|' must not
+    # be treated as regex metacharacters by F.split while concat_ws
+    # re-inserts them literally
+    from fastcdc_rs_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(0, "a.b.a"), (1, "b.c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_lines, r.n_kept, r.cleaned_text)
+           for r in remove_duplicate_lines(docs, sep=".").collect()}
+    assert out[0] == (3, 2, "a.b")   # in-doc dup 'a' dropped, sep intact
+    assert out[1] == (2, 1, "c")     # cross-doc dup 'b' dropped
+
+    pipes = spark.createDataFrame([(0, "x|y|x|z")], "doc_id long, text string")
+    r = remove_duplicate_lines(pipes, sep="|").first()
+    assert (r.n_lines, r.n_kept, r.cleaned_text) == (4, 3, "x|y|z")
+
+
+def test_stratified_sample_user_cut_column_survives(spark):
+    # internal cutoff column is collision-safe (ADVICE r3): a user column
+    # named _cut passes through untouched
+    from fastcdc_rs_spark.operators.mixing import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"t{i}", i * 10) for i in range(100)],
+        "doc_id long, lang string, text string, _cut long",
+    )
+    kept = stratified_sample(docs, {"en": 0.5}, seed=1, strata_col="lang")
+    assert "_cut" in kept.columns
+    rows = kept.collect()
+    assert 0 < len(rows) < 100
+    assert all(r._cut == r.doc_id * 10 for r in rows)
+
+
+def test_image_ops_on_error_skip(spark):
+    # per-record error policy (ADVICE r3): one corrupt payload must not
+    # kill a corpus-scale stage under on_error="skip", and must still
+    # fail loudly under the default contract
+    import pytest
+
+    from fastcdc_rs_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        image_features,
+        image_resize,
+    )
+
+    good = bytes(range(64, 128))          # stub-decodable payload
+    corrupt = _PNG_MAGIC + b"\x00" * 8    # PNG magic, garbage body
+    media = spark.createDataFrame(
+        [(1, good), (2, corrupt), (3, good)], "media_id long, payload binary"
+    )
+
+    kept = image_features(media, on_error="skip").collect()
+    assert sorted(r.media_id for r in kept) == [1, 3]
+    kept_rs = image_resize(media, 4, 4, on_error="skip").collect()
+    assert sorted(r.media_id for r in kept_rs) == [1, 3]
+
+    with pytest.raises(Exception):  # default on_error="fail" keeps contract
+        image_features(media).collect()
+    with pytest.raises(ValueError):
+        image_features(media, on_error="nope")
+
+
+def test_frame_sample_truncated_mjpeg_emits_degraded_row(spark):
+    # an SOI-led payload with zero complete frames must still emit one
+    # (frame_idx=-1, md5-fold) row instead of vanishing (ADVICE r3)
+    import hashlib
+
+    from fastcdc_rs_spark.operators.multimodal import frame_sample
+
+    truncated = b"\xff\xd8\xff\xe0\x00\x10" + b"JFIF" + b"\x00" * 32  # no EOI
+    media = spark.createDataFrame(
+        [(7, truncated)], "media_id long, payload binary"
+    )
+    rows = frame_sample(media, every_n=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    want = int.from_bytes(hashlib.md5(truncated).digest()[:8], "big", signed=True)
+    assert (r.media_id, r.frame_idx, r.frame_hash) == (7, -1, want)
