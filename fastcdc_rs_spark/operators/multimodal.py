@@ -3,12 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partition-size control — is real and tested.
-Codecs: PNG images decode for REAL via a stdlib-only decoder
-(``_decode_png``: zlib + filter reconstruction), WAV audio via stdlib
-``wave``, and MJPEG video frames segment for REAL via a JPEG structure
-walker (``_jpeg_end``); other image formats use PIL when importable;
-remaining paths (non-PNG images without PIL, non-WAV audio, non-MJPEG
-video) are STUBBED with deterministic fakes, clearly marked below.
+Codecs: PNG and BMP images decode for REAL via stdlib-only decoders
+(``_decode_png``: zlib + filter reconstruction; ``_decode_bmp``:
+BI_RGB 8/24/32-bit incl. palette and top-down rows), WAV audio via
+stdlib ``wave``, and MJPEG video frames segment for REAL via a JPEG
+structure walker (``_jpeg_end``); other image formats use PIL when
+importable; remaining paths (non-PNG/BMP images without PIL, non-WAV
+audio, non-MJPEG video) are STUBBED with deterministic fakes, clearly
+marked below.
 Swapping in PIL/libsndfile/ffmpeg is a one-function change that does
 not alter any DataFrame contract.
 """
@@ -157,6 +159,59 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3]  # RGB / RGBA (alpha dropped)
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only BMP decode to an HxWx3 uint8 RGB array.
+
+    Supports the uncompressed (BI_RGB) subset that covers practically
+    every .bmp in a web crawl: BITMAPINFOHEADER-or-later DIB headers,
+    8-bit palette, 24-bit BGR, and 32-bit BGRA (alpha dropped), bottom-up
+    (positive height) and top-down (negative height) row order, rows
+    padded to 4 bytes per the spec. Anything outside the subset raises
+    ``ValueError`` so the caller can fall back."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:  # BITMAPCOREHEADER etc.: different field layout
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    (colors_used,) = struct.unpack_from("<I", payload, 46)
+    if compression != 0 or planes != 1 or bpp not in (8, 24, 32):
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp} compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError("malformed BMP dimensions")
+    if bpp == 8:
+        n_colors = colors_used or 256
+        pal_off = 14 + dib_size
+        pal = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(-1, 4)[:, 2::-1]  # BGRA entries -> RGB
+    stride = ((w * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage -> top-down image
+    if bpp == 8:
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    return px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode to an HxWx3 uint8 array.
 
@@ -175,6 +230,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
         except ValueError:
             if not _HAVE_PIL:
                 raise  # corrupt or exotic PNG and no fallback decoder
+    if payload[:2] == b"BM" and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
+        try:
+            return _decode_bmp(payload)
+        except ValueError:
+            if not _HAVE_PIL:
+                raise  # corrupt or exotic BMP and no fallback decoder
     if _HAVE_PIL and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
         img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8)

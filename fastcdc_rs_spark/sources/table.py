@@ -19,8 +19,11 @@ A commit appends to ``_log.json`` via write-temp + ``os.replace`` — the
 atomic pointer flip that stands in for an Iceberg metadata swap. Readers
 resolve the latest committed snapshot; a crash after data write but
 before log append leaves an orphan directory that readers never see
-(same as Iceberg's uncommitted data files). Single committer per table
-(the Spark driver), as in any one-job-one-table pipeline.
+(same as Iceberg's uncommitted data files). Concurrent committers
+serialize on an O_EXCL lock file around the log read-modify-replace
+(the sandbox analog of Iceberg's optimistic commit protocol), so racing
+commits both land with unique snapshot ids instead of one silently
+losing its update.
 
 Cluster swap (documented, not executed here — the runtime jar is not in
 this sandbox)::
@@ -41,6 +44,7 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -66,20 +70,48 @@ class ParquetSnapshotCatalog:
             return []
         return json.loads(p.read_text())
 
+    @contextmanager
+    def _commit_lock(self, table: str):
+        """Serialize log read-modify-replace across committers with an
+        O_EXCL lock file — the sandbox analog of Iceberg's optimistic
+        commit protocol: without it two writers that both read the log
+        before either replaces it would silently drop one commit (lost
+        update). Bounded wait so a crashed holder's stale lock fails
+        loudly instead of deadlocking."""
+        lock = self._log_path(table).with_suffix(".json.lock")
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock for table {table!r} held too long "
+                        f"({lock}); remove it if the holder crashed"
+                    ) from None
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
     def _append_commit(self, table: str, entry: dict) -> None:
-        log = self._read_log(table)
-        # max+1, not len+1: expire_snapshots may truncate the log head and
-        # ids must never be reused
-        entry["snapshot_id"] = (
-            max(e["snapshot_id"] for e in log) + 1 if log else 1
-        )
-        entry["committed_at"] = time.strftime(
-            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-        )
-        log.append(entry)
-        tmp = self._log_path(table).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(log, indent=2))
-        os.replace(tmp, self._log_path(table))  # atomic pointer flip
+        with self._commit_lock(table):
+            log = self._read_log(table)
+            # max+1, not len+1: expire_snapshots may truncate the log head
+            # and ids must never be reused
+            entry["snapshot_id"] = (
+                max(e["snapshot_id"] for e in log) + 1 if log else 1
+            )
+            entry["committed_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+            log.append(entry)
+            tmp = self._log_path(table).with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(log, indent=2))
+            os.replace(tmp, self._log_path(table))  # atomic pointer flip
 
     def snapshots(self, table: str) -> list[dict]:
         return self._read_log(table)
@@ -249,18 +281,22 @@ class ParquetSnapshotCatalog:
         the expired snapshot ids."""
         import shutil
 
-        log = self._read_log(table)
-        if len(log) <= keep_last:
-            return []
-        expired, kept = log[:-keep_last], log[-keep_last:]
-        live = {p for e in kept for p in e["paths"].values()}
-        # metadata first, data second (the Iceberg ordering): once the log
-        # swap commits, readers can no longer resolve the expired ids, so
-        # a crash mid-deletion leaves only unreachable orphan dirs — never
-        # a committed snapshot whose files are gone
-        tmp = self._log_path(table).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(kept, indent=2))
-        os.replace(tmp, self._log_path(table))
+        # the log swap takes the same commit lock as writers: an expiry
+        # racing a concurrent commit must neither drop that commit nor
+        # resurrect expired entries
+        with self._commit_lock(table):
+            log = self._read_log(table)
+            if len(log) <= keep_last:
+                return []
+            expired, kept = log[:-keep_last], log[-keep_last:]
+            live = {p for e in kept for p in e["paths"].values()}
+            # metadata first, data second (the Iceberg ordering): once the
+            # log swap commits, readers can no longer resolve the expired
+            # ids, so a crash mid-deletion leaves only unreachable orphan
+            # dirs — never a committed snapshot whose files are gone
+            tmp = self._log_path(table).with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(kept, indent=2))
+            os.replace(tmp, self._log_path(table))
         removed_ids = []
         for e in expired:
             removed_ids.append(e["snapshot_id"])

@@ -1040,3 +1040,129 @@ def test_frame_sample_truncated_mjpeg_emits_degraded_row(spark):
     r = rows[0]
     want = int.from_bytes(hashlib.md5(truncated).digest()[:8], "big", signed=True)
     assert (r.media_id, r.frame_idx, r.frame_hash) == (7, -1, want)
+
+
+def _encode_bmp(px, bpp=24, top_down=False, palette=None):
+    """Independent minimal BMP encoder (test-side oracle for _decode_bmp):
+    BITMAPFILEHEADER + BITMAPINFOHEADER + optional BGRA palette + padded
+    rows, bottom-up unless top_down."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    stride = ((w * bpp // 8) + 3) & ~3
+    pal_bytes = b""
+    if bpp == 8:
+        pal = np.zeros((len(palette), 4), np.uint8)
+        pal[:, :3] = palette[:, ::-1]  # RGB -> BGR_
+        pal_bytes = pal.tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        if bpp == 8:
+            row = px[y].tobytes()  # px holds palette indices (h, w)
+        elif bpp == 24:
+            row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        else:  # 32
+            bgra = np.zeros((w, 4), np.uint8)
+            bgra[:, :3] = px[y, :, ::-1]
+            bgra[:, 3] = 0xAA
+            row = bgra.tobytes()
+        rows.append(row + b"\x00" * (stride - len(row)))
+    body = b"".join(rows)
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(body), 2835, 2835, (len(palette) if palette is not None else 0), 0,
+    )
+    return hdr + dib + pal_bytes + body
+
+
+def test_bmp_decode_golden_2x2():
+    # canonical public 2x2 24-bit example (BMP spec walk-through): file
+    # stores bottom-up BGR rows padded to 4 bytes — red,white on the
+    # bottom row, blue,green on top
+    from fastcdc_rs_spark.operators.multimodal import _decode_bmp
+
+    golden = bytes(
+        [
+            0x42, 0x4D,                          # BM
+            0x46, 0x00, 0x00, 0x00,              # file size 70
+            0x00, 0x00, 0x00, 0x00,              # reserved
+            0x36, 0x00, 0x00, 0x00,              # data offset 54
+            0x28, 0x00, 0x00, 0x00,              # DIB size 40
+            0x02, 0x00, 0x00, 0x00,              # width 2
+            0x02, 0x00, 0x00, 0x00,              # height 2 (bottom-up)
+            0x01, 0x00,                          # planes
+            0x18, 0x00,                          # 24 bpp
+            0x00, 0x00, 0x00, 0x00,              # BI_RGB
+            0x10, 0x00, 0x00, 0x00,              # image size 16
+            0x13, 0x0B, 0x00, 0x00,              # 2835 ppm
+            0x13, 0x0B, 0x00, 0x00,
+            0x00, 0x00, 0x00, 0x00,              # colors used
+            0x00, 0x00, 0x00, 0x00,              # important colors
+            # bottom row: red (00 00 FF), white (FF FF FF), pad
+            0x00, 0x00, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x00,
+            # top row: blue (FF 00 00), green (00 FF 00), pad
+            0xFF, 0x00, 0x00, 0x00, 0xFF, 0x00, 0x00, 0x00,
+        ]
+    )
+    img = _decode_bmp(golden)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [0, 0, 255]      # top-left blue
+    assert img[0, 1].tolist() == [0, 255, 0]      # top-right green
+    assert img[1, 0].tolist() == [255, 0, 0]      # bottom-left red
+    assert img[1, 1].tolist() == [255, 255, 255]  # bottom-right white
+
+
+def test_bmp_roundtrip_variants():
+    # decoder inverts an independently-written encoder across the
+    # supported subset: 24-bit bottom-up (odd width -> row padding),
+    # 32-bit top-down (alpha dropped), 8-bit palette
+    import numpy as np
+
+    from fastcdc_rs_spark.operators.multimodal import _decode_bmp
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # odd width
+    assert np.array_equal(_decode_bmp(_encode_bmp(px, 24)), px)
+    assert np.array_equal(_decode_bmp(_encode_bmp(px, 32, top_down=True)), px)
+
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 7), dtype=np.uint8)
+    got = _decode_bmp(_encode_bmp(idx, 8, palette=palette))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_bmp_corrupt_inputs_and_image_op(spark):
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from fastcdc_rs_spark.operators.multimodal import (
+        _decode_bmp,
+        image_features,
+    )
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    ok = _encode_bmp(px, 24)
+    with pytest.raises(ValueError):
+        _decode_bmp(ok[:40])                     # truncated header
+    with pytest.raises(ValueError):
+        _decode_bmp(ok[:-4])                     # truncated pixel data
+    rle = bytearray(ok)
+    struct.pack_into("<I", rle, 30, 1)           # BI_RLE8 compression
+    with pytest.raises(ValueError):
+        _decode_bmp(bytes(rle))
+
+    # through the Spark operator: real decode, exact histogram feature
+    px2 = np.full((4, 4, 3), 255, np.uint8)
+    media = spark.createDataFrame(
+        [(1, _encode_bmp(px2, 24))], "media_id long, payload binary"
+    )
+    r = image_features(media).first()
+    assert (r.height, r.width) == (4, 4)
+    assert r.features[-1] == 1.0                 # all pixels in top bin

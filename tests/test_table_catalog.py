@@ -210,3 +210,70 @@ def test_expiry_racing_time_travel_readers(spark, tmp_path):
         expired_df.collect()
     with pytest.raises(FileNotFoundError, match="expired"):
         cat.read("t", snapshot_id=1)
+
+
+def test_concurrent_writers_racing_commit(spark, tmp_path):
+    # two committers racing the log read-modify-replace must BOTH land
+    # (unique, gapless snapshot ids) — the lock-file serialization that
+    # stands in for Iceberg's optimistic commit retry. Threads hammer
+    # _append_commit directly so the race window is the log swap itself,
+    # not Spark job scheduling.
+    import threading
+
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    base = spark.createDataFrame([(0, "v0")], "p int, v string")
+    cat.write(base, "docs", partition_by="p")
+
+    n_threads, per_thread = 8, 5
+    errs = []
+
+    def committer(tid):
+        try:
+            for k in range(per_thread):
+                cat._append_commit(
+                    "docs",
+                    {"op": "overwrite_table", "partition_by": "p",
+                     "partition_type": "int",
+                     "paths": {f"p={tid}": f"/fake/{tid}/{k}"}},
+                )
+        except Exception as e:  # surfaced below — asserts in threads vanish
+            errs.append(e)
+
+    threads = [threading.Thread(target=committer, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    log = cat.snapshots("docs")
+    ids = [e["snapshot_id"] for e in log]
+    assert len(log) == 1 + n_threads * per_thread   # no lost update
+    assert ids == list(range(1, len(log) + 1))      # unique + gapless
+
+
+def test_read_changes_spanning_expired_boundary(spark, tmp_path):
+    # an incremental scan whose from-snapshot has been expired must fail
+    # loudly (the consumer's bookmark is no longer resolvable — exactly
+    # Iceberg's behavior), while a scan from a surviving snapshot still
+    # returns only the rows added after it.
+    cat = ParquetSnapshotCatalog(spark, tmp_path / "lake")
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(p, f"s{i}") for p in range(i + 1)], "p int, v string"
+        )
+        cat.overwrite_partitions(df, "docs", "p") if i else cat.write(
+            df, "docs", partition_by="p"
+        )
+    expired = cat.expire_snapshots("docs", keep_last=2)
+    assert expired == [1]
+
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read_changes("docs", from_snapshot_id=1)
+
+    # surviving bookmark still works: snapshot 3 replaced p=0..2, and vs
+    # snapshot 2 the added files are exactly snapshot 3's replacements
+    got = sorted(
+        (r.p, r.v) for r in cat.read_changes("docs", 2).collect()
+    )
+    assert got == [(0, "s2"), (1, "s2"), (2, "s2")]
