@@ -30,6 +30,66 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _stage_scaled_tables(spark, factor: int):
+    """Second scale point for the headline queries: the driver tables
+    replicated ``factor``x with DETERMINISTIC per-replica perturbation.
+    Every word gets a replica suffix (and embeddings a per-coordinate
+    hash jitter), so replicas are NOT near-duplicates of each other —
+    the seeded dup structure inside each replica is preserved and pair
+    counts scale ~linearly with ``factor`` instead of quadratically.
+    All JVM expressions; staged as parquet once per factor."""
+    import pyspark.sql.functions as F
+
+    path = f"/tmp/fastcdc_bench_sfx{factor}"
+    if not (os.path.exists(f"{path}/documents.parquet/_SUCCESS")
+            and os.path.exists(f"{path}/embeddings.parquet/_SUCCESS")):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+        reps = spark.range(factor).select(F.col("id").alias("_rep"))
+        (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("_rep") * n_docs).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit("r"), F.col("_rep").cast("string")),
+                    ),
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            .repartition(16)
+            .write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_emb = emb.count()
+        (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("_rep") * n_emb).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("_rep"), i),
+                            F.lit(1000),
+                        ).cast("float")
+                        / 1000.0
+                        - 0.5
+                    )
+                    * 0.3,
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(8)
+            .write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+        )
+    n = spark.read.parquet(f"{path}/documents.parquet").count()
+    return path, n
+
+
 def _stage_corpus(spark, n_docs: int, cpus: int):
     """Materialize the synthetic corpus as parquet once (cached per size) so
     benched reads are parallel scans, not driver-side serialization."""
@@ -198,6 +258,66 @@ def main() -> None:
         n / timings["pipeline_synthetic"], 1
     )
 
+    # -------- second scale point (plan differences at sf0.1 drown in
+    # per-stage setup; 10x tables + an 8x pipeline corpus make per-query
+    # scaling visible — "no query worse than ~linear in rows")
+    scale2 = None
+    if os.environ.get("SPARK_GRAFT_SCALE2", "1") == "1":
+        s2_factor = int(os.environ.get("SPARK_GRAFT_SCALE2_FACTOR", "10"))
+        s2_dir, s2_docs = _stage_scaled_tables(spark, s2_factor)
+        s2_timings: dict[str, float] = {}
+        s2_samples: dict[str, list[float]] = {}
+
+        def _timed2(name, thunk):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                thunk()
+                ts.append(round(time.perf_counter() - t0, 3))
+                release_all()
+            s2_samples[name] = ts
+            s2_timings[name] = min(ts)
+
+        # the uncapped ngram_jaccard and the decimal-SQL portability twin
+        # are excluded by design: the former's boilerplate fan-out is
+        # quadratic in data (not a plan property), the latter pays for
+        # DuckDB portability, not scale
+        s2_qnames = [
+            q for q in qnames
+            if q not in ("ngram_jaccard", "dedup_clusters_sql")
+        ]
+        for name in s2_qnames:
+            _timed2(name, lambda name=name: _noop_write(qs[name](spark, s2_dir)))
+        emb2 = spark.read.parquet(f"{s2_dir}/embeddings.parquet")
+        _timed2(
+            "embedding_near_dups_banded",
+            lambda: _noop_write(
+                cosine_near_duplicates_banded(
+                    emb2, threshold=0.8, dim=dim, bands=8, rows_per_band=10,
+                    bucket_cap=64,
+                )
+            ),
+        )
+        pipe_factor = int(os.environ.get("SPARK_GRAFT_SCALE2_PIPE", "8"))
+        sdocs2, n2, _ = _stage_corpus(
+            spark, SYNTH_DOCS * pipe_factor, int(CPUS)
+        )
+        def _run_pipeline2():
+            clusters, _, _ = near_dup_clusters(sdocs2, DedupConfig())
+            _noop_write(clusters)
+        _timed2("pipeline_synthetic", _run_pipeline2)
+        s2_timings["pipeline_synthetic_docs_per_sec"] = round(
+            n2 / s2_timings["pipeline_synthetic"], 1
+        )
+        sdocs2.unpersist()
+        scale2 = {
+            "factor": s2_factor,
+            "docs": s2_docs,
+            "pipeline_docs": n2,
+            "queries": s2_timings,
+            "samples": s2_samples,
+        }
+
     total = sum(v for k, v in timings.items() if not k.endswith("docs_per_sec"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -210,6 +330,7 @@ def main() -> None:
                 "samples": samples,
                 "reps": reps,
                 "pipeline_metrics": pmetrics_box.get("m"),
+                "scale2": scale2,
                 "sf": float(sf) if sf else None,
             }
         )

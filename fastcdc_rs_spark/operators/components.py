@@ -79,9 +79,14 @@ def _cc_loop(
     max_iter: int,
     id_col: str,
 ) -> DataFrame:
+    from pyspark.sql import Observation
+
     # Symmetrize with one explode instead of a two-branch union: a union
     # would evaluate the (unpersisted, often expensive) edge plan twice in
-    # the materialization job below.
+    # the materialization job below. The edge count rides the FIRST job
+    # (the endpoint-labels checkpoint below, which materializes this
+    # cache) as an Observation node — no separate pre-loop count action.
+    obs_edges = Observation("cc_sym_edges")
     sym = (
         edges.select(
             F.explode(
@@ -92,16 +97,26 @@ def _cc_loop(
             ).alias("e")
         )
         .select("e.src", "e.dst")
+        .observe(obs_edges, F.count(F.lit(1)).alias("n"))
         .persist()
     )
 
+    # the iterative loop touches only edge endpoints. This distinct runs
+    # at the session's shuffle parallelism (loop sizing isn't known until
+    # its own job fills the Observation); each round re-shuffles the
+    # label table at the loop setting anyway, so only this one job pays
+    # the session partition count.
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    labels = _truncate(labels)
+
     # Size the loop's shuffles from the edge set, not the session default:
     # with AQE off inside the loop, every round would otherwise run the
-    # full session partition count over (usually tiny) label tables. The
-    # materialized cache partitioning reflects what AQE already decided
-    # for the upstream verified-pairs computation, which tracks |E| at any
-    # scale (~2 rounds' worth of rows per partition).
-    n_edges = sym.count()
+    # full session partition count over (usually tiny) label tables.
+    n_edges = int(obs_edges.get["n"] or 0)
     spark = edges.sparkSession
     # ~50k edges per loop partition, bounded by the session setting: tiny
     # edge sets iterate on a handful of partitions (per-round task overhead
@@ -109,18 +124,8 @@ def _cc_loop(
     loop_parts = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                             n_edges // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-
-    # the iterative loop touches only edge endpoints
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
-    labels = _truncate(labels)
     if _DEBUG:
         print(f"cc: {n_edges} sym edges, loop partitions {loop_parts}", flush=True)
-
-    from pyspark.sql import Observation
 
     rounds = 0
     for it in range(max_iter):

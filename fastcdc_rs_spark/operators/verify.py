@@ -1,7 +1,7 @@
 """Candidate-pair verification (SURVEY.md §2.B B9).
 
 Exact Jaccard similarity over the shingle sets of each candidate pair,
-in two stages:
+in three stages:
 
 1. **Size-ratio prefilter** (narrow join): J(A,B) <= min(|A|,|B|) /
    max(|A|,|B|), so any pair whose set sizes differ by more than the
@@ -11,26 +11,40 @@ in two stages:
    through a shuffle. The bound is exact, not probabilistic: no pair
    with J >= threshold is ever pruned, so recall is untouched by
    construction (the 400k-doc single-node parity stays 1.000000).
-2. **Array verification** (wide join): survivors join the full shingle
-   sets on both sides; |A∩B| via ``array_intersect`` and |A∪B| derived
-   as |A| + |B| - |A∩B| (the arrays are deduplicated sets, so this is
-   exact and saves the ``array_union`` pass).
+2. **Degree split** (window over ``a``): surviving pairs get their
+   a-side pair-degree from a count window — the same shuffle that
+   co-locates each ``a``'s pairs for the array join below, so the stats
+   ride an exchange the plan needs anyway. Star pairs from capped hot
+   buckets all share ``a = bucket_min`` (operators/lsh.py), so at scale
+   a hub doc's shingle array would otherwise be copied once per
+   surviving pair through the wide join; pairs whose ``a`` exceeds
+   ``hub_degree_cap`` take a **broadcast** path instead: the (by
+   construction few — at most |pairs|/cap) hub docs' arrays are
+   broadcast and the hub pairs never shuffle an a-side array at all.
+3. **Array verification** (wide join): normal pairs join the full
+   shingle sets on both sides — the ``a``-side join reuses the window's
+   hash(a) partitioning exchange-free; hub pairs join only the b-side
+   arrays plus the broadcast hub arrays. |A∩B| via ``array_intersect``
+   and |A∪B| derived as |A| + |B| - |A∩B| (the arrays are deduplicated
+   sets, so this is exact and saves the ``array_union`` pass).
 
-At 100 TB the wide join is the shuffle-bytes hotspot — a hub doc's
-array is copied once per surviving pair — so every pair the narrow
-prune removes saves a full array copy.
+At 100 TB the wide join is the shuffle-bytes hotspot — every pair the
+narrow prune removes saves a full array copy, and the hub broadcast
+caps the worst-case replication of a hot doc's array at one copy per
+executor instead of one per pair.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 __all__ = ["verify_pairs"]
 
 
 def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
-                 id_col: str = "doc_id", shingles_col: str = "shingles") -> DataFrame:
+                 id_col: str = "doc_id", shingles_col: str = "shingles",
+                 hub_degree_cap: int | None = 256) -> DataFrame:
     """(a, b, jaccard) for pairs with exact Jaccard >= threshold.
 
     ``shingled`` arrays are treated as SETS: they are deduplicated here
@@ -38,6 +52,13 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
     union identity and the size-ratio prune stay exact even for callers
     whose arrays contain repeats. The kernel pipeline already emits
     sorted-unique shingles, for which the array_distinct is a no-op scan.
+
+    ``hub_degree_cap``: a-side pair-degree above which a doc's shingle
+    array is broadcast instead of shuffled per pair (None disables the
+    split). Purely a physical-plan choice — the output rows are
+    identical either way. The result carries its persisted narrow pair
+    table in ``_graft_caches``; materializing callers release it via
+    ``cache.release_caches``.
     """
     shingled = shingled.select(
         F.col(id_col), F.array_distinct(shingles_col).alias(shingles_col)
@@ -70,11 +91,37 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
     sb = shingled.select(
         F.col(id_col).alias("b"), F.col(shingles_col).alias("_sh_b")
     )
-    joined = pairs.join(sa, "a").join(sb, "b")
+    caches: list[DataFrame] = []
+    if hub_degree_cap is not None:
+        # pair-degree of a rides a count window — ONE shuffle on a that
+        # also pre-partitions the normal branch for its a-side array
+        # join (no second exchange of the pair stream on a). The
+        # persisted table is narrow (three longs per surviving pair).
+        pruned = (
+            pairs.withColumn(
+                "_deg", F.count(F.lit(1)).over(Window.partitionBy("a"))
+            ).persist()
+        )
+        caches.append(pruned)
+        norm = pruned.where(F.col("_deg") <= hub_degree_cap).select("a", "b")
+        hub = pruned.where(F.col("_deg") > hub_degree_cap).select("a", "b")
+        # at most |pairs| / cap distinct hub keys -> safe to broadcast;
+        # the join against `sa` is a broadcast hash join, so the (big)
+        # shingle table is filtered map-side, never shuffled here
+        hub_ids = hub.select("a").distinct()
+        hub_arrays = sa.join(F.broadcast(hub_ids), "a")
+        joined = (
+            norm.join(sa, "a").join(sb, "b")
+            .unionByName(
+                hub.join(sb, "b").join(F.broadcast(hub_arrays), "a")
+            )
+        )
+    else:
+        joined = pairs.join(sa, "a").join(sb, "b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     # the shingle arrays are deduplicated sets: |A ∪ B| = |A| + |B| − |A ∩ B|
     union = F.size("_sh_a") + F.size("_sh_b") - inter
-    return (
+    out = (
         joined.withColumn(
             "jaccard",
             F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0)),
@@ -82,3 +129,5 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    out._graft_caches = caches
+    return out

@@ -62,6 +62,10 @@ class DedupConfig:
     # verification + skew
     threshold: float = 0.6
     bucket_cap: int = 64
+    # a-side pair-degree above which a hub doc's shingle array is
+    # broadcast to its pairs instead of shuffled per pair (star pairs
+    # from capped buckets all share a = bucket_min); None disables
+    verify_hub_cap: int | None = 256
 
     def chunker(self) -> ChunkerConfig:
         return ChunkerConfig(
@@ -155,7 +159,12 @@ def near_dup_clusters(
         )
         pairs._graft_caches = caches
     shingled = signed.select(id_col, "shingles")
-    verified = verify_pairs(pairs, shingled, threshold=cfg.threshold, id_col=id_col)
+    verified = verify_pairs(
+        pairs, shingled, threshold=cfg.threshold, id_col=id_col,
+        hub_degree_cap=cfg.verify_hub_cap,
+    )
+    # capture before observe/persist wrap (instance attrs don't survive)
+    verify_caches = getattr(verified, "_graft_caches", [])
     if collect_metrics:
         from pyspark.sql import Observation
 
@@ -197,6 +206,8 @@ def near_dup_clusters(
     # connected_components materializes its rounds (localCheckpoint), so
     # the upstream caches are consumed by now — release them.
     release_caches(pairs, signed, units)
+    for c in verify_caches:
+        c.unpersist()
     return clusters, verified, metrics
 
 

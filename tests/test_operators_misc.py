@@ -1166,3 +1166,43 @@ def test_bmp_corrupt_inputs_and_image_op(spark):
     r = image_features(media).first()
     assert (r.height, r.width) == (4, 4)
     assert r.features[-1] == 1.0                 # all pixels in top bin
+
+
+def test_verify_pairs_hub_split_plan_and_equivalence(spark):
+    # Degree-aware verify: star pairs sharing a hub `a` take a broadcast
+    # path above hub_degree_cap. Pure physical-plan choice — results must
+    # be IDENTICAL to the unsplit wide join, the hub branch must plan a
+    # broadcast join, and the narrow persisted table must be released
+    # through _graft_caches.
+    import numpy as np
+
+    from fastcdc_rs_spark.operators.verify import verify_pairs
+
+    rng = np.random.default_rng(5)
+    base = list(range(1000, 1040))
+    sets = {0: base}                       # hub doc
+    pairs_rows = []
+    for i in range(1, 30):                 # 29 star pairs on hub a=0
+        drop = rng.choice(40, size=4, replace=False)
+        sets[i] = [v for j, v in enumerate(base) if j not in drop]
+        pairs_rows.append((0, i))
+    pairs_rows += [(1, 2), (3, 4)]         # a few normal pairs
+    shingled = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "doc_id long, shingles array<long>"
+    )
+    pairs = spark.createDataFrame(pairs_rows, "a long, b long")
+
+    split = verify_pairs(pairs, shingled, threshold=0.6, hub_degree_cap=4)
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    got_split = {(r.a, r.b): round(r.jaccard, 9) for r in split.collect()}
+    plain = verify_pairs(pairs, shingled, threshold=0.6, hub_degree_cap=None)
+    got_plain = {(r.a, r.b): round(r.jaccard, 9) for r in plain.collect()}
+    assert got_split == got_plain and len(got_split) > 20
+
+    caches = split._graft_caches
+    assert len(caches) == 1 and caches[0].storageLevel.useMemory
+    from fastcdc_rs_spark.cache import release_caches
+
+    release_caches(split)
+    assert not caches[0].storageLevel.useMemory
