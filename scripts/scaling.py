@@ -124,11 +124,13 @@ interleaved best-of per level alongside.
 | local[{hi}] (4N) | {best[hi]["queries"]["chunk_signature"]} | {t_hi} | {p_hi} |
 
 **chunk+signature scaling efficiency N -> 4N: {eff:.3f}** (target >= 0.8)
-full-pipeline scaling efficiency N -> 4N: {peff:.3f} (residual fixed
-per-job floor — job scheduling and shuffle stage setup independent of
-core count; the floor's history: 0.434 at 100k docs (round 1), 0.612 at
-800k (round 2), now measured after round 3 halved the CC loop's jobs
-per round — see docs/SCALE.md for why it vanishes at real scale)
+full-pipeline scaling efficiency N -> 4N: {peff:.3f} (history: 0.434 at
+100k docs (round 1), 0.612 at 800k (round 2), 0.704 (round 3), measured
+round 4 after the size-adaptive driver CC removed the loop's fixed jobs
+at sandbox edge counts and the hub verify landed — see docs/SCALE.md;
+interpret BOTH numbers against the sig job's own efficiency in the same
+window: the sig code is frozen, so any sig reading below its quiet-window
+0.97-0.98 measures the host's burst state, not the code)
 
 Throughput at {hi} cores: {round(t_hi * mb * 1048576 / n_docs / 1048576, 1)} MB/s of text through
 chunk+signature.
@@ -164,18 +166,39 @@ def _oracle_counts() -> str:
 # the kernel or correctness story changes). {COUNTS} is filled from the
 # live driver contract by _oracle_counts().
 _STATIC_TAIL = """
+## Verify-stage shuffle bytes: hub split measurements (round 4)
+
+Star pairs from capped buckets share `a = bucket_min`; verify_pairs'
+`hub_degree_cap` routes high-degree `a` keys through broadcasts so a hub
+doc's shingle array never enters an exchange. Measured via the status
+REST API (sum of stage shuffleWriteBytes across the verify query, 800k
+docs, 4 cores): plain wide join 159.3 MB; the FINAL hub plan 159.1 MB
+(row-identical output) — bytes-neutral here because hub pairs are ~2%
+of survivors after the size-ratio prefilter. In a constructed hub-heavy
+regime (100k star pairs on one hub, 2 KB arrays): plain 194.3 MB, hub
+plan 180.5 MB. Two intermediate shapes were measured and REJECTED:
+branching below the array join re-evaluates the join subtree per branch
+(pushed _deg predicates defeat exchange reuse): 222 MB at 800k; a
+branch-free left-join+coalesce forces the b-array stream through an
+extra a-exchange: 375 MB hub-heavy. The mechanism's payoff grows with
+array size and hub degree (a 10^8-member bucket at CC scale); at
+sandbox scale it is deliberately a config knob (default on, ~1 s of
+broadcast latency).
+
 ## Fixed per-job floor (why sandbox pipeline efficiency understates scale)
 
 The full pipeline carries a fixed-cost component that does not scale
-with cores at sandbox corpus sizes: iterative-CC rounds (each one
-localCheckpoint job — round 3 fused the convergence count into the
-checkpoint's own action as an Observation and made pointer jumping read
-the checkpointed start-of-round map, halving both jobs and join-pipeline
-evaluations per round), the pair/verify joins' stage setup, and JVM
-shuffle bookkeeping. At 100k docs the whole warm pipeline is now ~4-11 s
-at local[32], so the remaining floor is a couple of seconds of job
-scheduling; at cluster scale (10^9+ docs per run) the same rounds
-process millions of rows each and the floor vanishes — analysis in
+with cores at sandbox corpus sizes: iterative-CC rounds (round 3 fused
+the convergence count into the checkpoint's own action and made pointer
+jumping read the checkpointed start-of-round map; round 4 removed the
+loop entirely below 2M edges — a bounded Arrow probe + driver union-find
+produces the identical labeling in one job, stage decomposition: CC
+9.1 s -> 4.7 s at 4 cores, 10.0 s -> 3.5 s at 1 core on 800k docs), the
+pair/verify joins' stage setup, and JVM shuffle bookkeeping. At 100k
+docs the whole warm pipeline is ~4-11 s at local[32], so the remaining
+floor is a couple of seconds of job scheduling; at cluster scale (10^9+
+docs per run) the loop engages past the driver threshold and its rounds
+process millions of rows each, so the floor vanishes — analysis in
 docs/SCALE.md. The map stages (chunk+signature, the baseline metric)
 have no such floor, which is why they are the scaling-evidence job.
 
@@ -209,23 +232,29 @@ v2020, v2016, ronomon; native==numpy parity suite).
 | 800k docs (round 3, CC one-job rounds + verify prefilter) | 0.973 | 0.672 | 6819 / 18333 |
 | 2M docs (round 3, same code) | 0.980 | 0.671 | 5502 / 14776 |
 | 800k docs (round 3 final, window-based candidate stats) | 0.898* | **0.704** | 8403 / 23651 |
+| 800k docs (round 4, size-adaptive driver CC + hub verify) | see header* | see header | see header |
 
-(*) the sig job's own efficiency measured 0.97-0.98 in the two earlier
-round-3 windows above; 0.898 reflects a burst-degraded local[1] rep in
-the final window, not a code change — the sig code path is identical.
+(*) the sig job's code is FROZEN since round 2, so its measured
+efficiency in any window is a pure host-state probe: 0.97-0.98 in quiet
+round-3 windows, 0.898 in a burst-degraded one, and as low as 0.76 in
+the worst round-4 window (1-core sig samples spread 62% within one
+run). Pipeline readings from a window whose sig probe is depressed
+understate the code by the same factor; the header reports what the
+protocol measured in its own window, with the sig probe beside it so
+the two are reconcilable.
 
-The baseline-metric job (chunk+signature) holds >= 0.9 in every window
-and >= 0.97 in quiet ones. The full pipeline's efficiency moved
+The baseline-metric job (chunk+signature) holds >= 0.9 in quiet windows
+and >= 0.97 in the quietest. The full pipeline's efficiency moved
 0.612 -> 0.672 (CC one-job rounds, verify prefilter) -> 0.704 (bucket
-stats via a single-shuffle window instead of aggregate+join; that stage
-alone went 30.7 s -> 15.6 s at 4 cores with per-stage eff 0.995), with
-absolute throughput up 49% at 4 cores vs round 2 (15.9k -> 23.7k
-docs/s). The residual gap to 1.0 is the host's shared memory system
-(the 800k->2M plateau shows it: the per-job floor amortizes with size
-but bandwidth pressure grows to match). On a real cluster 4N executors
-bring 4N memory systems and shuffle disks — exactly what the local[N]
-stand-in cannot emulate. Reported as measured, all sizes and windows,
-no cherry-pick.
+stats via a single-shuffle window) -> round 4's header number (the
+size-adaptive driver CC removes ~6 s of pure job scheduling per run at
+sandbox edge counts; the hub verify is bytes-neutral at 800k and wins
+in hub-heavy regimes). The residual gap to 1.0 is the host's shared
+memory system (the 800k->2M plateau shows it: the per-job floor
+amortizes with size but bandwidth pressure grows to match). On a real
+cluster 4N executors bring 4N memory systems and shuffle disks —
+exactly what the local[N] stand-in cannot emulate. Reported as
+measured, all sizes and windows, no cherry-pick.
 
 ## Round-3 headline deltas (sf0.1, local[32], quiet window)
 

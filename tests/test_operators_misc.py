@@ -496,10 +496,12 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     from fastcdc_rs_spark.operators.components import connected_components
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
-    base = {(r.doc_id, r.cluster_id) for r in connected_components(edges).collect()}
+    base = {(r.doc_id, r.cluster_id)
+            for r in connected_components(edges, driver_max_edges=0).collect()}
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ccdir"))
     try:
-        rel = {(r.doc_id, r.cluster_id) for r in connected_components(edges).collect()}
+        rel = {(r.doc_id, r.cluster_id)
+               for r in connected_components(edges, driver_max_edges=0).collect()}
     finally:
         # session-scoped fixture: clear so later tests use localCheckpoint
         spark.sparkContext.setCheckpointDir(None)
@@ -620,7 +622,8 @@ def test_cc_long_path_graph_stale_jump_map(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)] + [(1000, 1001)], "a long, b long"
     )
-    got = {(r.doc_id, r.cluster_id) for r in connected_components(edges).collect()}
+    got = {(r.doc_id, r.cluster_id)
+           for r in connected_components(edges, driver_max_edges=0).collect()}
     want = {(i, 0) for i in range(n)} | {(1000, 1000), (1001, 1000)}
     assert got == want
 
@@ -1206,3 +1209,44 @@ def test_verify_pairs_hub_split_plan_and_equivalence(spark):
 
     release_caches(split)
     assert not caches[0].storageLevel.useMemory
+
+
+def test_cc_driver_path_equals_loop(spark):
+    # the size-adaptive driver union-find must produce EXACTLY the loop's
+    # labeling (min doc_id per component) on an adversarial mix: long
+    # path, star, cliques, isolated vertices; threshold boundary picks
+    # the right mode and stats expose it
+    import numpy as np
+
+    from fastcdc_rs_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(3)
+    rows = [(i, i + 1) for i in range(50)]              # path
+    rows += [(100, 100 + i) for i in range(1, 20)]      # star
+    for base in (200, 300):                             # cliques
+        ids = [base + i for i in range(6)]
+        rows += [(a, b) for a in ids for b in ids if a < b]
+    rows += [(int(a), int(b)) for a, b in rng.integers(400, 450, (40, 2))
+             if a != b]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    verts = spark.range(0, 460).selectExpr("id as doc_id")
+
+    drv = connected_components(edges, vertices=verts)
+    loop = connected_components(edges, vertices=verts, driver_max_edges=0)
+    assert drv._graft_cc_stats["cc_mode"] == "driver"
+    assert loop._graft_cc_stats["cc_mode"] == "loop"
+    got_d = {(r.doc_id, r.cluster_id) for r in drv.collect()}
+    got_l = {(r.doc_id, r.cluster_id) for r in loop.collect()}
+    assert got_d == got_l and len(got_d) == 460
+
+    # threshold boundary: edge count above driver_max_edges -> loop mode
+    forced = connected_components(edges, vertices=verts,
+                                  driver_max_edges=len(rows) - 1)
+    assert forced._graft_cc_stats["cc_mode"] == "loop"
+    assert {(r.doc_id, r.cluster_id) for r in forced.collect()} == got_d
+
+    # empty edge set: every vertex is a singleton, driver path
+    empty = spark.createDataFrame([], "a long, b long")
+    got_e = connected_components(empty, vertices=verts)
+    assert got_e._graft_cc_stats["cc_mode"] == "driver"
+    assert all(r.doc_id == r.cluster_id for r in got_e.collect())
