@@ -107,13 +107,16 @@ def _cc_driver(spark, edge_pdf, vertices: DataFrame | None,
                 ra, rb = rb, ra
             parent[rb] = ra
 
-    assignments = [(n, find(n)) for n in parent]
-    comp = spark.createDataFrame(
-        assignments or [(None, None)],
-        f"{id_col} long, cluster_id long",
+    import pandas as pd
+
+    # Arrow path (createDataFrame from pandas): a list-of-tuples frame
+    # goes through py4j row serialization, ~10x slower for 10^5 rows
+    nodes = list(parent)
+    comp_pdf = pd.DataFrame(
+        {id_col: pd.array(nodes, dtype="int64"),
+         "cluster_id": pd.array([find(n) for n in nodes], dtype="int64")}
     )
-    if not assignments:
-        comp = comp.where(F.col(id_col).isNotNull())
+    comp = spark.createDataFrame(comp_pdf, f"{id_col} long, cluster_id long")
     stats = {
         "cc_rounds": 0,
         "cc_sym_edges": 2 * len(edge_pdf),

@@ -18,11 +18,17 @@ seconds, session_id numbering each user's sessions from 1 in
 *arrival* order — so stream output == batch output on the same events
 whenever each user's events arrive in time order across micro-batches
 (tests/test_session_stream.py pins it, including sessions stitched
-across micro-batches). Caveat: an out-of-order but within-watermark
-session that arrives *after* a later session gets a higher session_id
-than the batch twin's time-ordered numbering; consumers needing exact
-batch equality under reordering should renumber by session_start at
-read time (e.g. row_number over (user_id ORDER BY session_start)).
+across micro-batches). Out-of-order arrivals within the watermark are
+handled with gap semantics, not absorbed: events within gap of the open
+session extend it (backward if they predate its start); events >= gap
+before it gap-cluster into their own already-closed past sessions,
+emitted immediately. Caveat: such past sessions get a HIGHER session_id
+than the batch twin's time-ordered numbering (arrival order is the
+stream's numbering), and an emitted past session cannot merge with a
+yet-later-arriving within-gap neighbor (append-mode emission is final).
+Consumers needing exact batch numbering under reordering should
+renumber by session_start at read time (row_number over (user_id ORDER
+BY session_start)).
 """
 
 from __future__ import annotations
@@ -57,6 +63,11 @@ _STATE_SCHEMA = StructType(
         StructField("session_start", LongType()),
         StructField("last_ts", LongType()),
         StructField("n_events", LongType()),
+        # highest session_id handed out so far for this user — distinct
+        # from the OPEN session's id, because out-of-order past sessions
+        # (emitted while an open session exists) take fresh ids without
+        # renumbering the open one
+        StructField("max_sid", LongType()),
     ]
 )
 
@@ -90,7 +101,7 @@ def stream_sessionize(
             }
 
         if state.hasTimedOut:
-            sid, start, last, n = state.get
+            sid, start, last, n, _ = state.get
             state.remove()
             yield pd.DataFrame([row(sid, start, last, n)])
             return
@@ -102,20 +113,51 @@ def stream_sessionize(
             secs.extend((pdf[ts_col].astype("int64") // 1_000_000_000).tolist())
         secs.sort()
         if state.exists:
-            sid, start, last, n = state.get
+            sid, start, last, n, max_sid = state.get
         else:
-            sid, start, last, n = 0, None, None, 0
+            sid, start, last, n, max_sid = 0, None, None, 0, 0
 
         closed: list[dict] = []
+        # Cross-batch out-of-order: events that predate the OPEN session
+        # by >= gap can never belong to it — they gap-cluster into their
+        # own ALREADY-CLOSED past sessions, emitted now (append-mode
+        # emission is final: a later-arriving within-gap neighbor of a
+        # past cluster would start a new session — the one true
+        # streaming approximation here). Absorbing them into the open
+        # session (the pre-round-4 behavior) corrupted its start/count.
+        # Events within gap of the open start extend it BACKWARD, since
+        # gap sessions partition the time axis order-independently.
+        if last is not None:
+            past = [t for t in secs if t < start - gap]
+            secs = [t for t in secs if t >= start - gap]
+            ps = pl = pn = None
+            for t in past:
+                if pl is None:
+                    ps, pl, pn = t, t, 1
+                elif t - pl >= gap:
+                    closed.append(row(max_sid + 1, ps, pl, pn))
+                    max_sid, ps, pl, pn = max_sid + 1, t, t, 1
+                else:
+                    pl, pn = t, pn + 1
+            if pl is not None:
+                # the cluster's last event is still >= gap before the
+                # open session's start, so it is genuinely closed; it
+                # takes a fresh id without renumbering the open session
+                closed.append(row(max_sid + 1, ps, pl, pn))
+                max_sid += 1
         for t in secs:
             if last is None:
-                sid, start, last, n = sid + 1, t, t, 1
+                sid, start, last, n = max_sid + 1, t, t, 1
+                max_sid += 1
             elif t - last >= gap:
                 closed.append(row(sid, start, last, n))
-                sid, start, last, n = sid + 1, t, t, 1
+                sid, start, last, n = max_sid + 1, t, t, 1
+                max_sid += 1
+            elif t < start:
+                start, n = t, n + 1
             else:
                 last, n = max(last, t), n + 1
-        state.update((sid, start, last, n))
+        state.update((sid, start, last, n, max_sid))
         # flush the open session once the watermark passes last + gap
         state.setTimeoutTimestamp((last + gap) * 1000)
         if closed:

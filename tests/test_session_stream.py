@@ -86,3 +86,66 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     u2 = [g for g in got if g[0] == 2]
     for s in u2:
         assert s[4] == 3, f"user 2 session split: {u2}"
+
+
+def test_stream_out_of_order_past_session(spark, tmp_path):
+    # Cross-batch out-of-order (round-4 pin): a session-worth of events
+    # arriving AFTER a much later session, still inside the watermark,
+    # must form its own closed session with gap semantics — not be
+    # absorbed into the open session (which corrupted start/n_events).
+    # Numbering is arrival order (documented); renumbering by
+    # session_start restores batch equality.
+    batch1 = [_ev(1, 1, 100), _ev(2, 1, 101)]        # open session at 100-101
+    batch2 = [_ev(3, 1, 0), _ev(4, 1, 5),            # far-past pair: own session
+              _ev(5, 1, 99)]                          # within gap: extends backward
+    batch3 = [_ev(6, 1, 600)]                         # closes the open session
+    schema = "event_id long, user_id long, ts timestamp"
+    src = str(tmp_path / "ooo_src")
+    out_dir = str(tmp_path / "ooo_out")
+    ckpt = str(tmp_path / "ooo_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_minutes=30, watermark="1000 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i, b in enumerate((batch1, batch2, batch3)):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        run_once()
+
+    t0s = int(T0.timestamp())
+    got = {
+        (r.session_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # past pair (0, 5) -> one gap-clustered closed session (sid 2: arrival
+    # order); open session extended backward by the minute-99 event and
+    # closed by batch3 as (99..101, 3 events) keeping sid 1
+    assert (2, t0s, t0s + 5 * 60, 2) in got
+    assert (1, t0s + 99 * 60, t0s + 101 * 60, 3) in got
+    # renumbering by session_start recovers the batch twin exactly
+    all_events = spark.createDataFrame(batch1 + batch2 + batch3, schema)
+    batch_rows = {
+        (r.session_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(all_events, gap_minutes=30).collect()
+    }
+    import pyspark.sql.functions as _F
+    from pyspark.sql import Window as _W
+
+    renum = {
+        (r.sid, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir)
+        .withColumn("sid", _F.row_number().over(
+            _W.partitionBy("user_id").orderBy("session_start")))
+        .collect()
+    }
+    assert renum <= batch_rows
