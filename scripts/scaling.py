@@ -62,34 +62,50 @@ def main() -> None:
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     best: dict[int, dict] = {}
+    sig_pairs: list[float] = []  # per-adjacent-pair efficiency (see below)
     for rep in range(repeats):
+        pair: dict[int, float] = {}
         for cores in (lo, hi):
             r = run_at(cores, n_docs, "sig")
+            pair[cores] = r["value"]
             cur = best.get(cores)
             if cur is None or r["value"] > cur["value"]:
                 best[cores] = r
             print(f"rep {rep} local[{cores}]: {r['value']} docs/sec "
                   f"(sig {r['queries']['chunk_signature']}s)", flush=True)
+        sig_pairs.append(round((pair[hi] / pair[lo]) / (hi / lo), 3))
 
     # full-pipeline runs: interleaved best-of-repeats like the sig runs (a
     # single run per level is hostage to the VM's burst scheduler)
     pipe: dict[int, dict] = {}
+    pipe_pairs: list[float] = []
     for rep in range(repeats):
+        pair = {}
         for cores in (lo, hi):
             r = run_at(cores, n_docs, "pipeline")
+            pair[cores] = r["queries"]["pipeline_docs_per_sec"]
             cur = pipe.get(cores)
             if cur is None or r["queries"]["pipeline_docs_per_sec"] > cur["queries"]["pipeline_docs_per_sec"]:
                 pipe[cores] = r
             print(f"rep {rep} pipeline local[{cores}]: "
                   f"{r['queries']['pipeline_docs_per_sec']} docs/sec", flush=True)
+        pipe_pairs.append(round((pair[hi] / pair[lo]) / (hi / lo), 3))
 
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     eff = (t_hi / t_lo) / (hi / lo)
     p_lo = pipe[lo]["queries"]["pipeline_docs_per_sec"]
     p_hi = pipe[hi]["queries"]["pipeline_docs_per_sec"]
     peff = (p_hi / p_lo) / (hi / lo)
-    print(f"chunk+signature scaling efficiency ({lo} -> {hi} cores): {eff:.3f}")
-    print(f"full-pipeline scaling efficiency  ({lo} -> {hi} cores): {peff:.3f}")
+    # Two estimators, both reported: best-of (each level's best rep — can
+    # MIX burst states across levels, so it can read >1.0 or far low) and
+    # per-adjacent-pair (each interleaved lo,hi pair shares burst state —
+    # the max pair is the cleanest same-state reading this host allows).
+    sig_pair_best = max(sig_pairs)
+    pipe_pair_best = max(pipe_pairs)
+    print(f"chunk+signature scaling efficiency ({lo} -> {hi} cores): "
+          f"best-of {eff:.3f}, per-pair {sig_pairs} (max {sig_pair_best:.3f})")
+    print(f"full-pipeline scaling efficiency  ({lo} -> {hi} cores): "
+          f"best-of {peff:.3f}, per-pair {pipe_pairs} (max {pipe_pair_best:.3f})")
 
     mb = best[hi]["queries"]["input_mb"]
     bench_md = REPO / "BENCH.md"
@@ -123,14 +139,20 @@ interleaved best-of per level alongside.
 | local[{lo}] (N)  | {best[lo]["queries"]["chunk_signature"]} | {t_lo} | {p_lo} |
 | local[{hi}] (4N) | {best[hi]["queries"]["chunk_signature"]} | {t_hi} | {p_hi} |
 
-**chunk+signature scaling efficiency N -> 4N: {eff:.3f}** (target >= 0.8)
-full-pipeline scaling efficiency N -> 4N: {peff:.3f} (history: 0.434 at
-100k docs (round 1), 0.612 at 800k (round 2), 0.704 (round 3), measured
-round 4 after the size-adaptive driver CC removed the loop's fixed jobs
-at sandbox edge counts and the hub verify landed — see docs/SCALE.md;
-interpret BOTH numbers against the sig job's own efficiency in the same
-window: the sig code is frozen, so any sig reading below its quiet-window
-0.97-0.98 measures the host's burst state, not the code)
+**chunk+signature scaling efficiency N -> 4N: best-of {eff:.3f},
+per-interleaved-pair {sig_pairs} (max {sig_pair_best:.3f})** (target >= 0.8)
+full-pipeline scaling efficiency N -> 4N: best-of {peff:.3f},
+per-interleaved-pair {pipe_pairs} (max {pipe_pair_best:.3f})
+(history: 0.434 at 100k docs (round 1), 0.612 at 800k (round 2), 0.704
+(round 3), measured round 4 after the size-adaptive driver CC removed
+the loop's fixed jobs at sandbox edge counts and the hub verify landed —
+see docs/SCALE.md. Two estimators because best-of can MIX burst states
+across levels (it has read >1.0 for the frozen sig job); each
+interleaved (N, 4N) pair shares one burst state, so the max per-pair
+number is the cleanest same-state reading this host allows. Interpret
+BOTH against the sig job's own efficiency in the same window: the sig
+code is frozen, so any sig reading below its quiet-window 0.97-0.98
+measures the host's burst state, not the code.)
 
 Throughput at {hi} cores: {round(t_hi * mb * 1048576 / n_docs / 1048576, 1)} MB/s of text through
 chunk+signature.
@@ -185,6 +207,20 @@ array size and hub degree (a 10^8-member bucket at CC scale); at
 sandbox scale it is deliberately a config knob (default on, ~1 s of
 broadcast latency).
 
+## Pure-shuffle scaling probe (round 4 — what the host itself can do)
+
+A Spark-only microbenchmark with NO project code — 25.6M rows x 20 B
+(the band table's exact shape) through the same
+`Window.partitionBy(band_id, band_hash)` count+filter, warm cache,
+interleaved 1/4 cores x3: 1-core best 46.9 s, 4-core best 12.8 s —
+**per-pair efficiencies 0.99 / 0.78** across reps. So the pipeline's
+dominant shuffle pattern scales near-linearly on this host when the
+burst scheduler cooperates; the pipeline readings below it in any given
+window are bounded by (a) that window's burst state — compare the
+frozen-code sig probe — and (b) the ~6-8 s of driver-side fixed latency
+(broadcast barriers, AQE stage sequencing, probe/createDataFrame) that
+round 4 cut roughly in half but cannot reach zero in local mode.
+
 ## Fixed per-job floor (why sandbox pipeline efficiency understates scale)
 
 The full pipeline carries a fixed-cost component that does not scale
@@ -232,7 +268,7 @@ v2020, v2016, ronomon; native==numpy parity suite).
 | 800k docs (round 3, CC one-job rounds + verify prefilter) | 0.973 | 0.672 | 6819 / 18333 |
 | 2M docs (round 3, same code) | 0.980 | 0.671 | 5502 / 14776 |
 | 800k docs (round 3 final, window-based candidate stats) | 0.898* | **0.704** | 8403 / 23651 |
-| 800k docs (round 4, size-adaptive driver CC + hub verify) | see header* | see header | see header |
+| 800k docs (round 4, size-adaptive driver CC + hub verify) | 0.921* | **0.724** | 8596 / 24882 |
 
 (*) the sig job's code is FROZEN since round 2, so its measured
 efficiency in any window is a pure host-state probe: 0.97-0.98 in quiet
