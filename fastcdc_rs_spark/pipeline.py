@@ -174,8 +174,14 @@ def near_dup_clusters(
         )
     # verified persists so post-CC consumers never recompute it from the
     # (released) upstream caches; it is the one frame left cached for the
-    # caller (small: the edge set).
-    verified = verified.persist()
+    # caller (small: the edge set). It is also REGISTERED: harnesses that
+    # run queries back-to-back drain it via release_all between queries —
+    # otherwise a later identical plan would silently hit this run's
+    # cache (Spark's cache manager matches analyzed plans) and report a
+    # fake warm time, and the session would accumulate edge caches.
+    from .cache import register_cache
+
+    verified = register_cache(verified.persist())
 
     clusters = connected_components(
         verified, vertices=docs.select(id_col), id_col=id_col
