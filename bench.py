@@ -40,7 +40,10 @@ def _stage_scaled_tables(spark, factor: int):
     All JVM expressions; staged as parquet once per factor."""
     import pyspark.sql.functions as F
 
-    path = f"/tmp/fastcdc_bench_sfx{factor}"
+    # keyed by source dir too: the same factor over sf0.01 and sf0.1
+    # must not share a staging cache
+    src_key = os.path.basename(SF_DIR.rstrip("/"))
+    path = f"/tmp/fastcdc_bench_sfx{factor}_{src_key}"
     if not (os.path.exists(f"{path}/documents.parquet/_SUCCESS")
             and os.path.exists(f"{path}/embeddings.parquet/_SUCCESS")):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
