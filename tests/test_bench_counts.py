@@ -8,6 +8,90 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
+sys.path.insert(0, str(REPO))
+
+
+def _realistic_bench_payload() -> dict:
+    """A payload at round-4 shape (the one whose JSON line outgrew the
+    driver's ~2 KB tail capture and landed as parsed:null)."""
+    qnames = [
+        "chunks", "minhash_bands", "simhash", "token_stats",
+        "bpe_token_stats", "quality_scores", "doc_fingerprint",
+        "exact_dedup_flags", "ngram_jaccard", "ngram_jaccard_capped",
+        "substring_pairs", "embedding_topk_ivf", "dedup_clusters",
+        "dedup_clusters_sql", "embedding_near_dups_banded",
+        "pipeline_synthetic", "pipeline_synthetic_docs_per_sec",
+    ]
+    timings = {q: 12345.678 for q in qnames}
+    samples = {q: [12345.678, 12345.678, 12345.678] for q in qnames}
+    pm = {
+        "docs": 100000, "units_total": 881327, "candidate_pairs": 37826,
+        "verified_pairs": 32270, "buckets": 159278, "max_bucket": 5000,
+        "capped_buckets": 64, "capped_docs": 192235, "cc_rounds": 0,
+        "cc_sym_edges": 64540, "cc_loop_partitions": 0,
+        "cc_mode": "driver", "units_per_doc": 8.813,
+        "bucket_hist": '{"1": 67006, "2": 60685, "3": 31521, "13": 32}',
+    }
+    s2q = {q: 12345.678 for q in qnames if q not in
+           ("ngram_jaccard", "dedup_clusters_sql")}
+    return {
+        "metric": "headline_queries_total",
+        "value": 12345.678,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "reps": 3,
+        "pipeline_metrics": pm,
+        "scale2": {"factor": 10, "docs": 500000, "pipeline_docs": 800000,
+                   "queries": s2q, "samples": samples},
+        "sf": 0.1,
+    }
+
+
+def test_bench_final_line_fits_driver_tail_capture():
+    # BENCH_r04.json was parsed:null because the one-line JSON outgrew
+    # the driver's ~2 KB stdout tail window. The final line is now a
+    # compact projection with a hard bound; both scale points and the
+    # pipeline metric counts must survive the compaction.
+    import json
+
+    import bench
+
+    payload = _realistic_bench_payload()
+    line = bench.final_line(payload)
+    assert len(line) < bench.MAX_FINAL_LINE
+    back = json.loads(line)
+    assert back["queries"]["pipeline_synthetic"] == 12345.678
+    assert back["scale2"]["queries"]["pipeline_synthetic"] == 12345.678
+    assert back["pipeline_metrics"]["verified_pairs"] == 32270
+    assert "samples" not in back and "samples" not in back["scale2"]
+    assert "bucket_hist" not in back["pipeline_metrics"]
+
+
+def test_claude_md_carries_no_hardcoded_test_count():
+    # Third count-drift instance (215 vs 217 in round 4): CLAUDE.md must
+    # not embed a literal test count — BENCH.md's counts line is
+    # generated; this one is simply banned.
+    import re
+
+    text = (REPO / "CLAUDE.md").read_text()
+    assert not re.search(r"\b\d+\s+tests\b", text), (
+        "CLAUDE.md hardcodes a test count — it drifts; remove the number"
+    )
+
+
+def test_bench_final_line_ladder_never_exceeds_bound():
+    import json
+
+    import bench
+
+    payload = _realistic_bench_payload()
+    # adversarial: a pathological metrics blob forces the drop ladder
+    payload["pipeline_metrics"]["bucket_hist_big"] = "x" * 5000
+    line = bench.final_line(payload)
+    assert len(line) <= bench.MAX_FINAL_LINE
+    back = json.loads(line)
+    assert back["metric"] == "headline_queries_total"
 
 
 def test_counts_line_regex_targets_generated_portion_only():
