@@ -50,22 +50,29 @@ def connected_components(
     **Size-adaptive physical strategy** (the AQE idea applied to an
     iterative algorithm): an edge set at or below ``driver_max_edges``
     (default 2M pairs ≈ 32 MB — trivially driver-safe) is collected once
-    and labeled with a union-find in-process, producing the identical
-    (min doc_id per component) labeling in one job plus one tiny
-    createDataFrame — where the distributed loop pays 4+ fixed-cost jobs
-    (labels checkpoint + one per round) regardless of data size. Above
-    the threshold the pointer-jumping DataFrame loop runs as before; the
-    probe is a ``limit(threshold+1)`` collect, so deciding costs one
-    bounded job, never an unbounded pull. ``driver_max_edges=0`` forces
-    the loop (tests pin loop==driver equality). The chosen path is
-    observable in ``_graft_cc_stats`` (``cc_mode``).
+    and labeled with a vectorized numpy union-find in-process, producing
+    the identical (min doc_id per component) labeling in one job plus
+    one tiny createDataFrame — where the distributed loop pays 4+
+    fixed-cost jobs (labels checkpoint + one per round) regardless of
+    data size. Above the threshold the pointer-jumping DataFrame loop
+    runs as before; the probe is a ``limit(threshold+1)`` collect, so
+    deciding costs one bounded job, never an unbounded pull. NOTE the
+    probe partially evaluates the edge plan: callers with an expensive
+    UNPERSISTED edge plan should persist it first (the pipeline does) or
+    pass ``driver_max_edges=0`` to force the loop (tests pin
+    loop==driver equality). The chosen path is observable in
+    ``_graft_cc_stats`` (``cc_mode``), and the probe/label timings ride
+    there too (``cc_probe_s`` / ``cc_driver_s``) so bench regressions in
+    this stage are attributable from the artifact alone.
     """
     spark = edges.sparkSession
     if driver_max_edges:
         # Arrow path: 2M (a, b) longs is ~32 MB, a sub-second pull
+        t0 = time.perf_counter()
         probe = edges.select("a", "b").limit(driver_max_edges + 1).toPandas()
+        probe_s = time.perf_counter() - t0
         if len(probe) <= driver_max_edges:
-            return _cc_driver(spark, probe, vertices, id_col)
+            return _cc_driver(spark, probe, vertices, id_col, probe_s)
     # AQE re-plans every round of an iterative loop from scratch; on the
     # small per-round shuffles here that costs ~10x more than the work
     # itself (measured: 60s -> 4.6s at 2k docs). Disable it for the loop
@@ -81,47 +88,56 @@ def connected_components(
 
 
 def _cc_driver(spark, edge_pdf, vertices: DataFrame | None,
-               id_col: str) -> DataFrame:
-    """Union-find over a collected (bounded) edge frame; identical
-    semantics to the loop: cluster id = min doc_id of the component,
-    singletons label themselves via the vertices left join."""
-    parent: dict[int, int] = {}
+               id_col: str, probe_s: float = 0.0) -> DataFrame:
+    """Vectorized min-label union-find over a collected (bounded) edge
+    frame; identical semantics to the loop: cluster id = min doc_id of
+    the component, singletons label themselves via the vertices left
+    join.
 
-    def find(x: int) -> int:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(edge_pdf["a"].tolist(), edge_pdf["b"].tolist()):
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by MIN root so the final find is the component min
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-
+    The per-edge interpreted dict loop this replaces cost seconds of
+    driver CPU and hundreds of MB of RSS near the 2M-edge threshold
+    (round-5 ADVICE); this is the SAME algorithm the DataFrame loop
+    runs — min-label propagation + pointer jumping — over numpy int64
+    arrays: node ids are ranked by sorted doc_id, so the component-min
+    label in rank space maps back to the component-min doc_id.
+    """
+    import numpy as np
     import pandas as pd
+
+    t0 = time.perf_counter()
+    a_arr = edge_pdf["a"].to_numpy(dtype="int64", copy=False)
+    b_arr = edge_pdf["b"].to_numpy(dtype="int64", copy=False)
+    # sorted-unique nodes: rank order == doc_id order, so min rank per
+    # component == min doc_id per component
+    nodes = np.unique(np.concatenate([a_arr, b_arr]))
+    ca = np.searchsorted(nodes, a_arr)
+    cb = np.searchsorted(nodes, b_arr)
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # hook: pull each edge's endpoints down to the smaller label
+        m = np.minimum(parent[ca], parent[cb])
+        np.minimum.at(parent, ca, m)
+        np.minimum.at(parent, cb, m)
+        # pointer jumping to idempotence (labels only ever decrease)
+        while True:
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        if np.array_equal(parent[ca], parent[cb]):
+            break
 
     # Arrow path (createDataFrame from pandas): a list-of-tuples frame
     # goes through py4j row serialization, ~10x slower for 10^5 rows
-    nodes = list(parent)
-    comp_pdf = pd.DataFrame(
-        {id_col: pd.array(nodes, dtype="int64"),
-         "cluster_id": pd.array([find(n) for n in nodes], dtype="int64")}
-    )
+    comp_pdf = pd.DataFrame({id_col: nodes, "cluster_id": nodes[parent]})
     comp = spark.createDataFrame(comp_pdf, f"{id_col} long, cluster_id long")
     stats = {
         "cc_rounds": 0,
         "cc_sym_edges": 2 * len(edge_pdf),
         "cc_loop_partitions": 0,
         "cc_mode": "driver",
+        "cc_probe_s": round(probe_s, 3),
+        "cc_driver_s": round(time.perf_counter() - t0, 3),
     }
     if vertices is not None:
         comp = (

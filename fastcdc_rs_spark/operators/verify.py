@@ -44,7 +44,8 @@ __all__ = ["verify_pairs"]
 
 def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
                  id_col: str = "doc_id", shingles_col: str = "shingles",
-                 hub_degree_cap: int | None = 256) -> DataFrame:
+                 hub_degree_cap: int | None = 256,
+                 hub_pair_bcast_max: int = 4_000_000) -> DataFrame:
     """(a, b, jaccard) for pairs with exact Jaccard >= threshold.
 
     ``shingled`` arrays are treated as SETS: they are deduplicated here
@@ -59,6 +60,20 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
     identical either way. The result carries its persisted narrow pair
     table in ``_graft_caches``; materializing callers release it via
     ``cache.release_caches``.
+
+    ``hub_pair_bcast_max``: the hub PAIR rows are only broadcast while
+    their count stays at or under this bound. The |pairs|/cap bound
+    applies to hub DOCS, not hub pairs — a single 10^8-pair star would
+    otherwise ride a ~GB broadcast (driver OOM / broadcast-limit
+    failure, one full copy per executor) in exactly the regime the
+    split exists for. Above the bound the hub pairs take a shuffle
+    join on ``b`` instead (three-long rows — the cheap shuffle this
+    module already accepts; the b-side array table pays one extra
+    exchange, which is bounded and spillable where the broadcast is
+    not). The hub ARRAYS broadcast is bounded by construction (at most
+    |pairs|/cap docs) and stays in both shapes. Output rows are
+    identical across all three physical modes (pinned in
+    tests/test_skew.py).
     """
     shingled = shingled.select(
         F.col(id_col), F.array_distinct(shingles_col).alias(shingles_col)
@@ -114,23 +129,42 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
         # pushed _deg predicates defeat exchange reuse, +40% bytes; a
         # branch-free left-join+coalesce forces the b-array stream
         # through an extra a-exchange, 2x bytes in hub-heavy regimes.)
-        hub_ids = pruned.where(F.col("_deg") > hub_degree_cap).select("a").distinct()
-        hub_arrays = sa.join(F.broadcast(hub_ids), "a")
-        norm = pruned.where(F.col("_deg") <= hub_degree_cap).drop("_deg")
         hub = pruned.where(F.col("_deg") > hub_degree_cap).drop("_deg")
-        joined = (
-            norm.join(sa, "a").join(sb, "b")
-            .unionByName(
-                # both hub joins are broadcasts (narrow pairs + few hub
-                # arrays), so the big shingle table STREAMS through the
-                # hub branch with no exchange — Catalyst does not reuse
-                # the norm branch's sb exchange across the union, so an
-                # equi-join here would shuffle sb twice
-                sb.join(F.broadcast(hub), "b")
-                .join(F.broadcast(hub_arrays), "a")
-                .select("a", "b", "_sh_a", "_sh_b")
+        # One cache-scan count decides the hub pairs' physical shape:
+        # 0 -> no hub branch at all (skips two broadcast barriers — ~1 s
+        # each of pure latency at sandbox scale); <= hub_pair_bcast_max
+        # -> the measured-optimal double-broadcast branch; above ->
+        # shuffle the narrow hub pairs on `b` (the broadcast would grow
+        # linearly with hub degree — unbounded; see docstring).
+        n_hub_pairs = hub.count()
+        if n_hub_pairs == 0:
+            joined = pruned.drop("_deg").join(sa, "a").join(sb, "b")
+        else:
+            hub_ids = hub.select("a").distinct()
+            hub_arrays = sa.join(F.broadcast(hub_ids), "a")
+            norm = pruned.where(F.col("_deg") <= hub_degree_cap).drop("_deg")
+            if n_hub_pairs <= hub_pair_bcast_max:
+                # both hub joins are broadcasts (bounded narrow pairs +
+                # few hub arrays), so the big shingle table STREAMS
+                # through the hub branch with no exchange — Catalyst
+                # does not reuse the norm branch's sb exchange across
+                # the union, so an equi-join here would shuffle sb twice
+                hub_joined = (
+                    sb.join(F.broadcast(hub), "b")
+                    .join(F.broadcast(hub_arrays), "a")
+                )
+            else:
+                # unbounded hub-pair regime: three-long pair rows take a
+                # b-keyed shuffle join (sb pays one extra exchange —
+                # bounded and spillable, unlike a pair broadcast)
+                hub_joined = (
+                    hub.join(sb, "b")
+                    .join(F.broadcast(hub_arrays), "a")
+                )
+            joined = (
+                norm.join(sa, "a").join(sb, "b")
+                .unionByName(hub_joined.select("a", "b", "_sh_a", "_sh_b"))
             )
-        )
     else:
         joined = pairs.join(sa, "a").join(sb, "b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))

@@ -20,9 +20,11 @@ whenever each user's events arrive in time order across micro-batches
 (tests/test_session_stream.py pins it, including sessions stitched
 across micro-batches). Out-of-order arrivals within the watermark are
 handled with gap semantics, not absorbed: events within gap of the open
-session extend it (backward if they predate its start); events >= gap
-before it gap-cluster into their own already-closed past sessions,
-emitted immediately. Caveat: such past sessions get a HIGHER session_id
+session extend it (backward if they predate its start — the extension
+chains, so classification is against the FINAL extended start, and an
+exact-gap spacing is a boundary exactly as in the batch twin); events
+>= gap before the extended start gap-cluster into their own
+already-closed past sessions, emitted immediately. Caveat: such past sessions get a HIGHER session_id
 than the batch twin's time-ordered numbering (arrival order is the
 stream's numbering), and an emitted past session cannot merge with a
 yet-later-arriving within-gap neighbor (append-mode emission is final).
@@ -127,9 +129,28 @@ def stream_sessionize(
         # session (the pre-round-4 behavior) corrupted its start/count.
         # Events within gap of the open start extend it BACKWARD, since
         # gap sessions partition the time axis order-independently.
+        #
+        # The past/keep split uses the FINAL backward-extended start:
+        # below-start events are chained descending first (< gap spacing,
+        # the same strict bound as the forward close and the batch twin's
+        # `(sec - prev) >= gap` split — an exact-gap neighbor is a
+        # boundary, not a member), THEN everything at or beyond gap
+        # before the extended start gap-clusters into past sessions.
+        # Classifying against the pre-extension start did two things
+        # wrong (round-4 ADVICE): an exact-gap event merged backward
+        # (>= / > off-by-one), and an event made within-gap only by a
+        # same-batch backward extension was emitted as its own session.
         if last is not None:
-            past = [t for t in secs if t < start - gap]
-            secs = [t for t in secs if t >= start - gap]
+            below = sorted(t for t in secs if t < start)
+            secs = [t for t in secs if t >= start]
+            joined = 0
+            i = len(below) - 1
+            while i >= 0 and start - below[i] < gap:
+                start = below[i]
+                joined += 1
+                i -= 1
+            n += joined
+            past = below[: i + 1]
             ps = pl = pn = None
             for t in past:
                 if pl is None:
@@ -153,9 +174,10 @@ def stream_sessionize(
                 closed.append(row(sid, start, last, n))
                 sid, start, last, n = max_sid + 1, t, t, 1
                 max_sid += 1
-            elif t < start:
-                start, n = t, n + 1
             else:
+                # t >= start by construction (the prepass above consumed
+                # every below-start event); t may still sit inside the
+                # open interval, hence the max
                 last, n = max(last, t), n + 1
         state.update((sid, start, last, n, max_sid))
         # flush the open session once the watermark passes last + gap

@@ -1210,6 +1210,27 @@ def test_verify_pairs_hub_split_plan_and_equivalence(spark):
     release_caches(split)
     assert not caches[0].storageLevel.useMemory
 
+    # Round-5 ADVICE: the hub PAIR broadcast is bounded — above
+    # hub_pair_bcast_max the narrow hub pairs must take a shuffle join
+    # instead (the broadcast grew linearly with hub degree). Forcing the
+    # bound to 0 exercises the shuffle shape; rows stay identical.
+    shuffled = verify_pairs(pairs, shingled, threshold=0.6,
+                            hub_degree_cap=4, hub_pair_bcast_max=0)
+    got_shuffled = {(r.a, r.b): round(r.jaccard, 9)
+                    for r in shuffled.collect()}
+    assert got_shuffled == got_plain
+    release_caches(shuffled)
+
+    # zero hub pairs: the split collapses to the plain wide join (no
+    # union branch, no broadcast barriers) — rows still identical
+    nohub = verify_pairs(pairs, shingled, threshold=0.6,
+                         hub_degree_cap=10_000)
+    got_nohub = {(r.a, r.b): round(r.jaccard, 9) for r in nohub.collect()}
+    assert got_nohub == got_plain
+    plan_nohub = nohub._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan_nohub
+    release_caches(nohub)
+
 
 def test_cc_driver_path_equals_loop(spark):
     # the size-adaptive driver union-find must produce EXACTLY the loop's

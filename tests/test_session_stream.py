@@ -149,3 +149,78 @@ def test_stream_out_of_order_past_session(spark, tmp_path):
         .collect()
     }
     assert renum <= batch_rows
+
+
+def test_stream_out_of_order_gap_boundary_and_chained_extension(
+    spark, tmp_path
+):
+    # Round-5 ADVICE pins. User 1: an out-of-order event EXACTLY gap
+    # before the open session's start is a boundary (batch splits on
+    # `delta >= gap`), so it must become its own past session, never
+    # merge backward. User 2: the past/keep split must classify against
+    # the FINAL backward-extended start — minute 50 is >= gap before the
+    # pre-extension start (100) but chains through the same batch's
+    # minute-75 extension (both spacings < gap), so all four events are
+    # ONE session, matching the batch twin.
+    gap_min = 30
+    batch1 = [_ev(1, 1, 100), _ev(2, 1, 101),
+              _ev(3, 2, 100), _ev(4, 2, 101)]
+    batch2 = [_ev(5, 1, 70),            # exact-gap: 100-70 == gap
+              _ev(6, 2, 75), _ev(7, 2, 50)]
+    batch3 = [_ev(8, 1, 600), _ev(9, 2, 600)]  # close the open sessions
+    schema = "event_id long, user_id long, ts timestamp"
+    src = str(tmp_path / "gb_src")
+    out_dir = str(tmp_path / "gb_out")
+    ckpt = str(tmp_path / "gb_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_minutes=gap_min,
+                              watermark="1000 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i, b in enumerate((batch1, batch2, batch3)):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        run_once()
+
+    t0s = int(T0.timestamp())
+    rows = spark.read.parquet(out_dir).collect()
+    got1 = {(r.session_id, r.session_start, r.session_end, r.n_events)
+            for r in rows if r.user_id == 1}
+    got2 = {(r.session_id, r.session_start, r.session_end, r.n_events)
+            for r in rows if r.user_id == 2}
+    # user 1: exact-gap event = closed past session; open session intact
+    assert got1 == {
+        (2, t0s + 70 * 60, t0s + 70 * 60, 1),
+        (1, t0s + 100 * 60, t0s + 101 * 60, 2),
+    }, got1
+    # user 2: one merged session 50..101 (4 events), nothing emitted as
+    # a spurious past session from the pre-extension classification
+    assert got2 == {(1, t0s + 50 * 60, t0s + 101 * 60, 4)}, got2
+
+    # both users: renumbering by session_start == batch twin subset
+    all_events = spark.createDataFrame(batch1 + batch2 + batch3, schema)
+    batch_rows = {
+        (r.user_id, r.session_id, r.session_start, r.session_end,
+         r.n_events)
+        for r in sessionize(all_events, gap_minutes=gap_min).collect()
+    }
+    from pyspark.sql import Window as _W
+
+    renum = {
+        (r.user_id, r.sid, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir)
+        .withColumn("sid", F.row_number().over(
+            _W.partitionBy("user_id").orderBy("session_start")))
+        .collect()
+    }
+    assert renum <= batch_rows, renum - batch_rows
