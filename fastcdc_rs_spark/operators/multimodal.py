@@ -3,14 +3,15 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partition-size control — is real and tested.
-Codecs: PNG and BMP images decode for REAL via stdlib-only decoders
-(``_decode_png``: zlib + filter reconstruction; ``_decode_bmp``:
-BI_RGB 8/24/32-bit incl. palette and top-down rows), WAV audio via
-stdlib ``wave``, and MJPEG video frames segment for REAL via a JPEG
-structure walker (``_jpeg_end``); other image formats use PIL when
-importable; remaining paths (non-PNG/BMP images without PIL, non-WAV
-audio, non-MJPEG video) are STUBBED with deterministic fakes, clearly
-marked below.
+Codecs: PNG, BMP, GIF, and binary-PPM images decode for REAL via
+stdlib-only decoders (``_decode_png``: zlib + filter reconstruction;
+``_decode_bmp``: BI_RGB 8/24/32-bit incl. palette and top-down rows;
+``_decode_gif``: full LZW + interlace + transparency, first frame;
+``_decode_ppm``: P6), WAV audio via stdlib ``wave``, and MJPEG video
+frames segment for REAL via a JPEG structure walker (``_jpeg_end``);
+other image formats use PIL when importable; remaining paths
+(JPEG/TIFF/WebP stills without PIL, non-WAV audio) are STUBBED with
+deterministic fakes, clearly marked below.
 Swapping in PIL/libsndfile/ffmpeg is a one-function change that does
 not alter any DataFrame contract.
 """
@@ -212,11 +213,193 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
 
 
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW decompression (LSB-first variable-width codes,
+    clear/end codes, 12-bit cap) per the GIF89a spec appendix."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_pixels:
+        if bitpos + code_size > total_bits:
+            break
+        byte_i = bitpos >> 3
+        val = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (val >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK special case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("truncated GIF LZW data")
+    return out[:n_pixels]
+
+
+# interlaced GIFs store rows in four passes (spec §23, appendix E)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only GIF87a/89a decode of the FIRST frame to an
+    HxWx3 uint8 RGB array.
+
+    Full LZW decompression (variable-width codes, clear/end, KwKwK),
+    global + local color tables, interlaced row order, and the graphic-
+    control transparency index (transparent pixels show the logical-
+    screen background). Later animation frames are ignored — a web-crawl
+    feature extractor wants one representative frame, and frame_sample
+    covers the video case. Anything malformed raises ``ValueError`` so
+    the caller can fall back."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 14:
+        raise ValueError("not a GIF")
+    scr_w, scr_h, packed, bg_idx, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos
+        ).reshape(-1, 3)
+        pos += 3 * n
+    transparent = None
+    try:
+        while True:
+            b0 = payload[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer before any image
+                raise ValueError("GIF with no image data")
+            if b0 == 0x21:  # extension: sub-blocks until terminator
+                label = payload[pos]
+                pos += 1
+                subs = []
+                while True:
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    subs.append(payload[pos:pos + sz])
+                    pos += sz
+                if label == 0xF9 and subs and len(subs[0]) >= 4:
+                    if subs[0][0] & 1:  # transparency flag
+                        transparent = subs[0][3]
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{b0:02x}")
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                ct = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            if w == 0 or h == 0 or left + w > scr_w or top + h > scr_h:
+                raise ValueError("malformed GIF frame geometry")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad GIF LZW min code size {min_code}")
+            data = bytearray()
+            while True:
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += payload[pos:pos + sz]
+                pos += sz
+            idx = np.array(
+                _gif_lzw(bytes(data), min_code, w * h), dtype=np.int32
+            ).reshape(h, w)
+            break
+    except IndexError:
+        raise ValueError("truncated GIF") from None
+    if interlaced := bool(ipacked & 0x40):
+        rows = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+        deint = np.empty_like(idx)
+        deint[rows] = idx
+        idx = deint
+    if int(idx.max(initial=0)) >= len(ct):
+        raise ValueError("GIF color index out of range")
+    canvas = np.zeros((scr_h, scr_w, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
+    frame = ct[idx].astype(np.uint8)
+    region = canvas[top:top + h, left:left + w]
+    if transparent is not None:
+        mask = idx != transparent
+        region[mask] = frame[mask]
+    else:
+        region[...] = frame
+    return canvas
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only binary PPM (P6) decode to HxWx3 uint8 RGB.
+    Whitespace/comment-tolerant header per the netpbm format spec;
+    maxval must fit in one byte."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM comment")
+            pos = nl + 1
+        elif c in b"0123456789":
+            end = pos
+            while end < len(payload) and payload[end] in b"0123456789":
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise ValueError("malformed PPM header")
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        raise ValueError(f"unsupported PPM (w={w} h={h} maxval={maxval})")
+    pos += 1  # single whitespace byte after maxval
+    if len(payload) < pos + w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(
+        payload, np.uint8, count=w * h * 3, offset=pos
+    ).reshape(h, w, 3)
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode to an HxWx3 uint8 array.
 
-    PNG payloads decode for REAL via the stdlib-only ``_decode_png``
-    (no image library needed in this container); other formats use PIL
+    PNG/BMP/GIF/PPM payloads decode for REAL via the stdlib-only
+    decoders above (no image library in this container); other formats use PIL
     when importable (real deployments); otherwise — or when
     ``SPARK_GRAFT_FAKE_MEDIA=1`` forces it (tests, this container) — a
     clearly-marked deterministic STUB derived from the payload bytes so
@@ -236,6 +419,20 @@ def _decode_image(payload: bytes) -> np.ndarray:
         except ValueError:
             if not _HAVE_PIL:
                 raise  # corrupt or exotic BMP and no fallback decoder
+    if payload[:6] in (b"GIF87a", b"GIF89a") and os.environ.get(
+        "SPARK_GRAFT_FAKE_MEDIA"
+    ) != "1":
+        try:
+            return _decode_gif(payload)
+        except ValueError:
+            if not _HAVE_PIL:
+                raise  # corrupt GIF and no fallback decoder
+    if payload[:2] == b"P6" and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
+        try:
+            return _decode_ppm(payload)
+        except ValueError:
+            if not _HAVE_PIL:
+                raise  # corrupt PPM and no fallback decoder
     if _HAVE_PIL and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
         img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8)

@@ -611,6 +611,160 @@ def test_png_through_image_operators(spark):
     assert bytes(rz.pixels) == px[rows][:, cols].tobytes()
 
 
+def _encode_gif(px_idx: np.ndarray, palette: np.ndarray,
+                interlace: bool = False, transparent: int | None = None,
+                left: int = 0, top: int = 0,
+                screen: tuple[int, int] | None = None, bg: int = 0,
+                local_ct: bool = False) -> bytes:
+    """Minimal GIF89a writer for the decoder goldens: the documented
+    "uncompressed GIF" technique — literal LZW codes at fixed width with
+    a clear code before the table could force a width change — over a
+    KNOWN index array, so _decode_gif's LZW/interlace/compositing is
+    pinned against ground truth (encoder and decoder share no code)."""
+    import struct
+
+    from fastcdc_rs_spark.operators.multimodal import _GIF_PASSES
+
+    h, w = px_idx.shape
+    bits = max(2, (len(palette) - 1).bit_length())
+    size_field = bits - 1
+    scr_w, scr_h = screen or (left + w, top + h)
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", scr_w, scr_h, (0 if local_ct else 0x80) | size_field, bg, 0
+    )
+    pal = bytes(np.asarray(palette, np.uint8).ravel())
+    pal += b"\x00" * (3 * (2 << size_field) - len(pal))
+    if not local_ct:
+        out += pal
+    if transparent is not None:
+        out += b"\x21\xf9\x04" + bytes([1, 0, 0, transparent]) + b"\x00"
+    iflag = (0x80 | size_field) if local_ct else 0
+    if interlace:
+        iflag |= 0x40
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, iflag)
+    if local_ct:
+        out += pal
+    rows = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+    seq = (px_idx[rows] if interlace else px_idx).ravel().tolist()
+    mc = bits
+    clear, end, cs = 1 << mc, (1 << mc) + 1, mc + 1
+    max_lit = (1 << cs) - clear - 2  # literals before the table would
+    codes, count = [clear], 0        # hit 2^cs and widen the codes
+    for v in seq:
+        if count == max_lit:
+            codes.append(clear)
+            count = 0
+        codes.append(int(v))
+        count += 1
+    codes.append(end)
+    bitbuf = nbits = 0
+    data = bytearray()
+    for c in codes:
+        bitbuf |= c << nbits
+        nbits += cs
+        while nbits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(bitbuf & 0xFF)
+    out += bytes([mc])
+    for i in range(0, len(data), 255):
+        out += bytes([len(data[i:i + 255])]) + data[i:i + 255]
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_goldens():
+    from fastcdc_rs_spark.operators.multimodal import _decode_gif, _decode_image
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+
+    # plain 4x6, GCT, no offsets
+    idx = rng.integers(0, 4, (4, 6), dtype=np.uint8)
+    payload = _encode_gif(idx, pal)
+    np.testing.assert_array_equal(_decode_gif(payload), pal[idx])
+    np.testing.assert_array_equal(_decode_image(payload), pal[idx])
+
+    # interlaced 9x5: stored row order is the four-pass schedule
+    idx_i = rng.integers(0, 4, (9, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        _decode_gif(_encode_gif(idx_i, pal, interlace=True)), pal[idx_i]
+    )
+
+    # local color table + frame offset inside a larger logical screen:
+    # canvas fills with the GCT... absent here, so zeros; frame overlays
+    idx_o = rng.integers(0, 4, (2, 3), dtype=np.uint8)
+    p_off = _encode_gif(idx_o, pal, left=2, top=1, screen=(6, 4),
+                        local_ct=True)
+    got = _decode_gif(p_off)
+    want = np.zeros((4, 6, 3), np.uint8)
+    want[1:3, 2:5] = pal[idx_o]
+    np.testing.assert_array_equal(got, want)
+
+    # transparency: transparent pixels show the background color
+    idx_t = np.array([[0, 1], [2, 0]], np.uint8)
+    p_t = _encode_gif(idx_t, pal, transparent=0, bg=3)
+    got_t = _decode_gif(p_t)
+    want_t = pal[idx_t].copy()
+    want_t[idx_t == 0] = pal[3]
+    np.testing.assert_array_equal(got_t, want_t)
+
+    # the canonical 1x1 transparent-pixel GIF (a REAL encoder's LZW
+    # stream, clear/literal/end at growing widths): decodes to the
+    # white background
+    tiny = (b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+            b"!\xf9\x04\x01\x00\x00\x00\x00"
+            b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;")
+    np.testing.assert_array_equal(
+        _decode_gif(tiny), np.full((1, 1, 3), 255, np.uint8)
+    )
+
+    # malformed inputs raise ValueError (caller falls back)
+    with pytest.raises(ValueError):
+        _decode_gif(b"GIF89a" + b"\x00" * 20)   # trailer/garbage, no image
+    with pytest.raises(ValueError):
+        _decode_gif(payload[:-10])               # truncated LZW data
+    with pytest.raises(ValueError):
+        _decode_gif(b"NOTGIF")
+
+
+def test_ppm_decode_goldens():
+    from fastcdc_rs_spark.operators.multimodal import _decode_image, _decode_ppm
+
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n 5  3\n255\n" + px.tobytes()
+    np.testing.assert_array_equal(_decode_ppm(payload), px)
+    np.testing.assert_array_equal(_decode_image(payload), px)
+
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n5 3\n65535\n" + b"\x00" * 90)  # 2-byte maxval
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n5 3\n255\n" + px.tobytes()[:-4])  # truncated
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P3\n5 3\n255\n")  # ASCII PPM is out of scope
+
+
+def test_gif_through_image_operators(spark):
+    from fastcdc_rs_spark.operators.multimodal import image_features
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (6, 8), dtype=np.uint8)
+    payload = _encode_gif(idx, pal)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = image_features(media).first()
+    assert (r.height, r.width) == (6, 8)
+    px = pal[idx]
+    hist, _ = np.histogram(px, bins=16, range=(0, 256))
+    np.testing.assert_allclose(r.features, hist / hist.sum(), atol=1e-6)
+
+
 def test_cc_long_path_graph_stale_jump_map(spark):
     # Worst case for pointer jumping — a long path — under the round-3
     # jump-through-START-of-round-map design: labels must still converge
