@@ -23,6 +23,9 @@ crosses documents (SURVEY.md §3).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
@@ -35,6 +38,7 @@ __all__ = [
     "stream_exact_dedup",
     "stream_exact_dedup_within_watermark",
     "stream_band_keys",
+    "stream_contamination_flags",
     "start_exact_dedup_stream",
 ]
 
@@ -99,6 +103,73 @@ def stream_band_keys(
     return posexplode_once(
         signed, "bands", "band_id", "band_hash", keep=[id_col]
     ).select(id_col, "band_id", "band_hash")
+
+
+def stream_contamination_flags(
+    stream_df: DataFrame, benchmark: DataFrame, n: int = 13,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.contamination_flags``:
+    (doc_id, n_hits, contaminated) per streamed document, emitted
+    append-mode with NO state and NO watermark.
+
+    The benchmark side is small by nature (eval sets are thousands of
+    documents), so its distinct gram-hash set is collected once and
+    BROADCAST to executors; every micro-batch is then a stateless map:
+
+    * per-row gram hashes come from the SAME ``token_gram_expr`` +
+      ``md5_long`` JVM expressions the batch twin uses — tokenization
+      can never drift between the two paths;
+    * membership is a vectorized ``searchsorted`` against the sorted
+      broadcast array inside one Arrow-batched pandas UDF (the only
+      Python step, and it touches longs, never text).
+
+    The batch operator's gram explode + broadcast join + groupBy would
+    be a stateful streaming aggregation (doc_id grouping needs a
+    watermark and still holds state); computing the hit count WITHIN
+    the row sidesteps all of it — a document is one row, so nothing
+    here ever crosses rows. Equality with the batch operator is pinned
+    in tests/test_checkpoint_streaming.py.
+    """
+    from ..operators.dedup import token_gram_expr, token_ngrams
+
+    bench = np.sort(
+        np.array(
+            [
+                r[0]
+                for r in token_ngrams(benchmark, n, text_col, id_col)
+                .select("ngram_hash")
+                .distinct()
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+    )
+    b = benchmark.sparkSession.sparkContext.broadcast(bench)
+
+    @F.pandas_udf("long")
+    def _n_hits(hash_arrays: pd.Series) -> pd.Series:
+        bh = b.value
+
+        def count(arr) -> int:
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size == 0 or bh.size == 0:
+                return 0
+            pos = np.searchsorted(bh, a)
+            pos[pos == bh.size] = 0  # out-of-range probes re-check slot 0
+            return int((bh[pos] == a).sum())
+
+        return hash_arrays.map(count)
+
+    gram_hashes = F.transform(
+        token_gram_expr(text_col, n, distinct=True), md5_long
+    )
+    return stream_df.select(
+        F.col(id_col),
+        _n_hits(gram_hashes).alias("n_hits"),
+    ).select(
+        id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+    )
 
 
 def start_exact_dedup_stream(

@@ -234,3 +234,63 @@ def test_incremental_dedup_job_cross_era_pairs(spark, tmp_path):
     n_before = spark.read.parquet(f"{work}/pairs").count()
     run_incremental_candidates(spark, src, work)
     assert spark.read.parquet(f"{work}/pairs").count() == n_before
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    # Streaming decontamination (round-5): stateless broadcast-gram map,
+    # emitted append-mode across micro-batches, must equal the batch
+    # operator row-for-row — including zero-hit docs, short docs (the
+    # whole-sequence n-gram rule), and docs arriving in a later batch.
+    from fastcdc_rs_spark.operators.dedup import contamination_flags
+    from fastcdc_rs_spark.streaming.dedup_stream import (
+        stream_contamination_flags,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    batch1 = [
+        (1, "alpha beta gamma delta rest of page text here"),  # hit
+        (2, "totally clean document with no overlap at all"),  # clean
+        (3, "eta"),  # short doc: whole sequence as one gram, no hit
+    ]
+    batch2 = [
+        (4, "zz alpha beta gamma delta yy epsilon zeta eta xx"),  # 2 hits
+        (5, "epsilon zeta eta"),  # short benchmark doc, exact match
+    ]
+    n = 4  # 4-gram rule at test scale
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "cont_src")
+    sink = str(tmp_path / "cont_sink")
+    ckpt = str(tmp_path / "cont_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_contamination_flags(stream, bench, n=n)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i, b in enumerate((batch1, batch2)):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        run_once()
+
+    got = {
+        (r.doc_id, r.n_hits, r.contaminated)
+        for r in spark.read.parquet(sink).collect()
+    }
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        (r.doc_id, r.n_hits, r.contaminated)
+        for r in contamination_flags(all_docs, bench, n=n).collect()
+    }
+    assert got == want, (got, want)
+    assert (5, 1, True) in got and (2, 0, False) in got
