@@ -1,6 +1,11 @@
 """Replicates the driver's correctness gate locally: run every
-__spark_entry__ query at sf0.01 next to its DuckDB oracle and compare
-row counts + order-insensitive values (columns sorted by name).
+__spark_entry__ query next to its DuckDB oracle and compare row counts
++ order-insensitive values (columns sorted by name).
+
+Runs at sf0.01 by default (the driver's own gate scale). Set
+``SPARK_GRAFT_ORACLE_SF01=1`` to ALSO run every oracle query at sf0.1 —
+the bench scale — so correctness is pinned at both scales BENCH.md
+reports (round-4 verdict: "second-scale correctness, not just perf").
 
 Kernel-backed queries without an oracle get the rows-only check here too,
 plus invariant assertions where cheap.
@@ -9,6 +14,7 @@ plus invariant assertions where cheap.
 from __future__ import annotations
 
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -17,18 +23,27 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.01"
+SF_DIRS = [SF_DIR]
+if os.environ.get("SPARK_GRAFT_ORACLE_SF01") == "1":
+    SF_DIRS.append("/root/testdata/sf0.1")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 
+@pytest.fixture(scope="module", params=SF_DIRS,
+                ids=lambda p: p.rsplit("/", 1)[-1])
+def sf_dir(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def ddb():
+def ddb(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     yield con
     con.close()
@@ -54,9 +69,9 @@ def _normalize(rows, cols):
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
-def test_query_matches_oracle(spark, ddb, name):
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
     q = entrymod.queries()[name]
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
@@ -71,13 +86,13 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-def test_rows_only_queries(spark):
+def test_rows_only_queries(spark, sf_dir):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     for name in qs:
         if name in oracles:
             continue
-        df = qs[name](spark, SF_DIR)
+        df = qs[name](spark, sf_dir)
         assert df.count() > 0, f"{name}: empty result"
 
 
