@@ -144,8 +144,9 @@ per-interleaved-pair {sig_pairs} (max {sig_pair_best:.3f})** (target >= 0.8)
 full-pipeline scaling efficiency N -> 4N: best-of {peff:.3f},
 per-interleaved-pair {pipe_pairs} (max {pipe_pair_best:.3f})
 (history: 0.434 at 100k docs (round 1), 0.612 at 800k (round 2), 0.704
-(round 3), measured round 4 after the size-adaptive driver CC removed
-the loop's fixed jobs at sandbox edge counts and the hub verify landed —
+(round 3), 0.724 (round 4, size-adaptive driver CC + hub verify);
+measured round 5 after the hub-pair broadcast bound + zero-hub branch
+skip and the numpy-vectorized driver union-find landed —
 see docs/SCALE.md. Two estimators because best-of can MIX burst states
 across levels (it has read >1.0 for the frozen sig job); each
 interleaved (N, 4N) pair shares one burst state, so the max per-pair
@@ -206,6 +207,17 @@ extra a-exchange: 375 MB hub-heavy. The mechanism's payoff grows with
 array size and hub degree (a 10^8-member bucket at CC scale); at
 sandbox scale it is deliberately a config knob (default on, ~1 s of
 broadcast latency).
+
+Round 5 bounded the one unbounded piece (round-4 ADVICE): hub PAIR rows
+were broadcast too, and |pairs|/cap bounds hub docs, not hub pairs — a
+10^8-pair star would ride a ~GB pair broadcast in exactly the regime
+the split targets. One cache-scan count on the persisted narrow table
+now decides the shape: zero hub pairs skips the union branch (and both
+broadcast barriers) entirely; at or under `hub_pair_bcast_max` (4M
+three-long rows) the measured-optimal double broadcast runs; above it
+the narrow hub pairs shuffle on `b` (one extra bounded, spillable
+b-exchange for the array table instead of an unbounded broadcast). All
+three shapes pinned row-identical (tests/test_operators_misc.py).
 
 ## Pure-shuffle scaling probe (round 4 — what the host itself can do)
 
@@ -269,6 +281,7 @@ v2020, v2016, ronomon; native==numpy parity suite).
 | 2M docs (round 3, same code) | 0.980 | 0.671 | 5502 / 14776 |
 | 800k docs (round 3 final, window-based candidate stats) | 0.898* | **0.704** | 8403 / 23651 |
 | 800k docs (round 4, size-adaptive driver CC + hub verify) | 0.921* | **0.724** | 8596 / 24882 |
+| 800k docs (round 5, bounded/skippable hub bcast + vectorized driver CC) | 0.892* (pair max 0.993) | **0.749** | 8595 / 25755 |
 
 (*) the sig job's code is FROZEN since round 2, so its measured
 efficiency in any window is a pure host-state probe: 0.97-0.98 in quiet
@@ -282,10 +295,17 @@ the two are reconcilable.
 The baseline-metric job (chunk+signature) holds >= 0.9 in quiet windows
 and >= 0.97 in the quietest. The full pipeline's efficiency moved
 0.612 -> 0.672 (CC one-job rounds, verify prefilter) -> 0.704 (bucket
-stats via a single-shuffle window) -> round 4's header number (the
-size-adaptive driver CC removes ~6 s of pure job scheduling per run at
-sandbox edge counts; the hub verify is bytes-neutral at 800k and wins
-in hub-heavy regimes). The residual gap to 1.0 is the host's shared
+stats via a single-shuffle window) -> 0.724 (size-adaptive driver CC +
+hub verify) -> round 5's header number (hub-pair broadcast bounded and
+skipped entirely when no hub pairs exist — two fewer broadcast
+barriers — and the driver union-find vectorized to numpy, removing the
+last interpreted per-edge driver CPU; the same changes lifted the
+32-core 800k pipeline to 50,305 docs/s, the best absolute throughput
+any round has recorded, +45% over round 4). Within each round-5
+interleaved rep the pipeline pair fell monotonically (0.749 -> 0.701)
+while the frozen-code sig pairs ROSE to 0.993 — the 4-core runs drain
+burst credits faster than the 1-core runs they are interleaved with,
+so the later pipeline pairs under-read. The residual gap to 1.0 is the host's shared
 memory system (the 800k->2M plateau shows it: the per-job floor
 amortizes with size but bandwidth pressure grows to match). On a real
 cluster 4N executors bring 4N memory systems and shuffle disks —
@@ -301,11 +321,29 @@ measured, all sizes and windows, no cherry-pick.
 | ngram_jaccard | 13.1 s (regressed in r2) | 3.0 s | regression root-caused to the r2 gram-table persist; removed with measurements documented in operators/dedup.py |
 | dedup_clusters | 6.4 s | 1.6 s warm | same CC/verify changes |
 
-Per-query raw samples now ride the bench JSON (`samples`, `reps`) so
-best-of numbers and burst variance are visible in the artifact itself.
-bench.py also emits `pipeline_metrics` (B14): docs, units/doc, candidate
-and verified pair counts (Observation nodes riding the run's own
-actions), bucket-size log2 histogram, cap counters, CC rounds.
+Per-query raw samples ride the bench DETAIL sidecar
+(/tmp/fastcdc_bench_detail.json; the final stdout line is a compact
+projection guaranteed to fit the driver's ~2 KB tail capture — round 4's
+line outgrew it and BENCH_r04.json landed parsed:null). bench.py also
+emits `pipeline_metrics` (B14): docs, units/doc, candidate and verified
+pair counts (Observation nodes riding the run's own actions), bucket-size
+log2 histogram, cap counters, CC mode/rounds and — new in round 5 —
+`cc_probe_s`/`cc_driver_s` stage timers for the size-adaptive CC path.
+
+## Round-5 headline deltas (sf0.1, local[32], clean window)
+
+Round 4's warm regressions re-measured with the new stage timers:
+`dedup_clusters` 3.18 -> 2.87 s and `pipeline_synthetic` 8.48 -> 7.11 s
+(r3's 1.68/5.61 came from a quieter window — this window's other
+queries read ~15% high too). The timers attribute the residual:
+`cc_probe_s` = 1.16 s of the pipeline is the CC probe's
+limit+toPandas, which is not overhead — it is the verify stage's
+actual materialization riding the probe job (the cache serves the
+final action); the vectorized union-find itself is `cc_driver_s` =
+0.054 s where the interpreted loop cost ~10x that. The second scale
+point moved most: the 800k-doc pipeline ran 23.08 -> 15.90 s =
+**50,305 docs/s, best-ever by 45%** (hub-branch skip + numpy
+union-find at 32 cores).
 
 ## Correctness gates (see tests/)
 
@@ -324,7 +362,11 @@ actions), bucket-size log2 histogram, cap counters, CC rounds.
   (decimal-exact sums), df-capped production twins of the
   n-gram/substring dedup queries, and (round 3) a full pipeline-shape
   twin `dedup_clusters_sql` (units → MinHash → LSH → verify → CC under
-  the decimal permutation family vs a recursive-CTE oracle).
+  the decimal permutation family vs a recursive-CTE oracle);
+- correctness is pinned at BOTH scales BENCH reports (round 5):
+  `SPARK_GRAFT_ORACLE_SF01=1 python -m pytest tests/test_entry_oracle.py`
+  runs every oracle query at sf0.01 AND sf0.1 — 83 passed
+  (docs/CORRECTNESS_sf0.1_r05.md).
 """
 
 
