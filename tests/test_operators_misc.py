@@ -1367,13 +1367,22 @@ def test_verify_pairs_hub_split_plan_and_equivalence(spark):
     # Round-5 ADVICE: the hub PAIR broadcast is bounded — above
     # hub_pair_bcast_max the narrow hub pairs must take a shuffle join
     # instead (the broadcast grew linearly with hub degree). Forcing the
-    # bound to 0 exercises the shuffle shape; rows stay identical.
+    # bounds down exercises the b-id-filtered shuffle rung and the
+    # unfiltered rung; rows stay identical on every rung.
     shuffled = verify_pairs(pairs, shingled, threshold=0.6,
                             hub_degree_cap=4, hub_pair_bcast_max=0)
     got_shuffled = {(r.a, r.b): round(r.jaccard, 9)
                     for r in shuffled.collect()}
     assert got_shuffled == got_plain
     release_caches(shuffled)
+
+    unfiltered = verify_pairs(pairs, shingled, threshold=0.6,
+                              hub_degree_cap=4, hub_pair_bcast_max=0,
+                              hub_bids_bcast_max=0)
+    got_unfiltered = {(r.a, r.b): round(r.jaccard, 9)
+                      for r in unfiltered.collect()}
+    assert got_unfiltered == got_plain
+    release_caches(unfiltered)
 
     # zero hub pairs: the split collapses to the plain wide join (no
     # union branch, no broadcast barriers) — rows still identical
