@@ -233,6 +233,35 @@ frozen-code sig probe — and (b) the ~6-8 s of driver-side fixed latency
 (broadcast barriers, AQE stage sequencing, probe/createDataFrame) that
 round 4 cut roughly in half but cannot reach zero in local mode.
 
+## Per-stage scaling decomposition (round 5 — where the pipeline gap lives)
+
+Each pipeline stage isolated on persisted inputs (fresh JVM per level,
+interleaved 1/4 cores x2 reps, 800k docs, warm pass first — the
+scaling.py protocol applied stage-by-stage):
+
+| stage | 1-core (s) | 4-core (s) | pair efficiency |
+|---|---|---|---|
+| chunk+signature (map-only) | 23.8 / 21.3 | 5.6 / 5.9 | 1.06 / 0.90 |
+| candidates (band explode + ONE window shuffle) | 63.1 / 70.2 | 19.6 / 22.3 | 0.80 / 0.79 |
+| verify (prune + degree window + array joins) | 8.4 / 10.2 | 6.5 / 6.3 | 0.33 / 0.41 |
+| CC (driver path + singleton attach) | 1.6 / 1.6 | 1.3 / 1.5 | 0.29 / 0.27 |
+
+The two stages that carry the data — chunk+signature and candidate
+generation, 87-92% of the 1-core wall — scale at 0.79-1.06, and the
+candidates stage matches the NO-project-code pure-shuffle probe above
+(0.78-0.99): the shuffle path scales as well as this host allows.
+Verify+CC are ~10-12 s at 1 core and still ~8 s at 4 — their 4-core
+wall is fixed latency, not work: the verify stage's four physical
+shapes (plain wide join / double-broadcast hub / b-id-filtered shuffle
+/ unfiltered shuffle) were measured round-robin in one session and ALL
+land within the host's +-1.5 s burst noise (mins 4.3-5.5 s), so the
+gap is the stage DAG's sequential exchanges + broadcast barriers +
+probe jobs — a per-JOB scheduling floor, not a per-byte cost. The
+whole-pipeline 0.749 is therefore the big stages' ~0.8-1.0 diluted by
+~8 s of scale-invariant floor; growing the input amortizes it (the 2M
+run moved 0.671 (r3) -> 0.760 pair-max (r5) with the floor unchanged),
+and on a real cluster the floor does not multiply with data at all.
+
 ## Fixed per-job floor (why sandbox pipeline efficiency understates scale)
 
 The full pipeline carries a fixed-cost component that does not scale
