@@ -3,14 +3,16 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partition-size control — is real and tested.
-Codecs: PNG, BMP, GIF, and binary-PPM images decode for REAL via
-stdlib-only decoders (``_decode_png``: zlib + filter reconstruction;
-``_decode_bmp``: BI_RGB 8/24/32-bit incl. palette and top-down rows;
-``_decode_gif``: full LZW + interlace + transparency, first frame;
-``_decode_ppm``: P6), WAV audio via stdlib ``wave``, and MJPEG video
-frames segment for REAL via a JPEG structure walker (``_jpeg_end``);
-other image formats use PIL when importable; remaining paths
-(JPEG/TIFF/WebP stills without PIL, non-WAV audio) are STUBBED with
+Codecs: PNG, BMP, GIF, binary-PPM, and baseline JPEG images decode for
+REAL via stdlib-only decoders (``_decode_png``: zlib + filter
+reconstruction; ``_decode_bmp``: BI_RGB 8/24/32-bit incl. palette and
+top-down rows; ``_decode_gif``: full LZW + interlace + transparency,
+first frame; ``_decode_ppm``: P6; ``_decode_jpeg``: T.81 baseline
+sequential — Huffman, restart intervals, subsampling, batched numpy
+IDCT), WAV audio via stdlib ``wave``, and MJPEG video frames segment
+for REAL via a JPEG structure walker (``_jpeg_end``); other image
+formats use PIL when importable; remaining paths (progressive-JPEG/
+TIFF/WebP stills without PIL, non-WAV audio) are STUBBED with
 deterministic fakes, clearly marked below.
 Swapping in PIL/libsndfile/ffmpeg is a one-function change that does
 not alter any DataFrame contract.
@@ -395,6 +397,274 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     ).reshape(h, w, 3)
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT, Huffman) ------------------
+#
+# Pure stdlib+numpy: marker walk shares its structure knowledge with
+# ``_jpeg_end`` below, entropy decoding is per-coefficient Python (test
+# scale), dequant + de-zigzag + IDCT are batched numpy over all blocks.
+# Supported: SOF0/SOF1, 8-bit, 1- or 3-component (grayscale / YCbCr),
+# integer subsampling ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1...), restart
+# intervals, multi-table DQT/DHT segments. Progressive (SOF2),
+# arithmetic coding, 12-bit, and CMYK raise ValueError (PIL fallback
+# when importable, else the error propagates per ``on_error`` policy).
+
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8x8 DCT-II basis: f = C.T @ F @ C inverts F = C @ f @ C.T
+_JPEG_IDCT_C = np.array([
+    [(np.sqrt(1 / 8) if u == 0 else 0.5)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _jpeg_huff(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol map per T.81 Annex C code assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy segments (stuffing pre-stripped);
+    ``next_segment`` realigns at a restart boundary."""
+
+    def __init__(self, segments: list[bytes]):
+        self._segments = segments
+        self._si = 0
+        self._data = segments[0] if segments else b""
+        self._pos = 0       # byte index
+        self._bit = 0       # bits consumed of current byte
+
+    def next_segment(self) -> None:
+        self._si += 1
+        if self._si >= len(self._segments):
+            raise ValueError("truncated JPEG: missing restart segment")
+        self._data = self._segments[self._si]
+        self._pos = 0
+        self._bit = 0
+
+    def read_bit(self) -> int:
+        if self._pos >= len(self._data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self._data[self._pos] >> (7 - self._bit)) & 1
+        self._bit += 1
+        if self._bit == 8:
+            self._bit = 0
+            self._pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG -> HxWx3 uint8 (stdlib + numpy only).
+
+    Reference parity note: the reference repo (nlfiedler/fastcdc-rs) has
+    no media codecs; this exists for the training-data pipeline's
+    multimodal columns (SURVEY.md §2.C), same contract as
+    ``_decode_png``/``_decode_bmp``/``_decode_gif``."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    n = len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None          # (height, width, comps) from SOF0/SOF1
+    scan = None           # [(comp_index, dc_id, ac_id)] from SOS
+    data_at = None
+    j = 2
+    while j + 1 < n:
+        if payload[j] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = payload[j + 1]
+        if m == 0xFF:                       # fill byte
+            j += 1
+            continue
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # bare markers
+            j += 2
+            continue
+        if j + 3 >= n:
+            raise ValueError("truncated JPEG segment")
+        seglen = (payload[j + 2] << 8) | payload[j + 3]
+        if seglen < 2 or j + 2 + seglen > n:
+            raise ValueError("bad or truncated JPEG segment")
+        seg = payload[j + 4:j + 2 + seglen]
+        if m == 0xDB:                       # DQT: one or more tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:                      # 16-bit precision
+                    tbl = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                qt[tq] = tbl
+        elif m in (0xC0, 0xC1):             # SOF0 baseline / SOF1 extended seq
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h = (seg[1] << 8) | seg[2]
+            w = (seg[3] << 8) | seg[4]
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif m == 0xC4:                     # DHT: one or more tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = seg[p + 1:p + 17]
+                nv = sum(bits)
+                vals = seg[p + 17:p + 17 + nv]
+                (huff_ac if tc else huff_dc)[th] = _jpeg_huff(bits, vals)
+                p += 17 + nv
+        elif m == 0xDD:                     # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif m == 0xDA:                     # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            ids = [c[0] for c in frame[2]]
+            scan = []
+            for s in range(ns):
+                cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                scan.append((ids.index(cid), tt >> 4, tt & 15))
+            data_at = j + 2 + seglen
+            break
+        j += 2 + seglen
+    if frame is None or scan is None or data_at is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split entropy data at restart markers, stripping 0xFF00 stuffing
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = data_at
+    while p < n:
+        b = payload[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = payload[p + 1] if p + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:                               # EOI or any real marker ends scan
+            break
+    segments.append(bytes(cur))
+
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # quantized coefficients per component: (mcuy*mcux*v*h, 64) zigzag
+    blocks = [np.zeros((mcuy * mcux * c[1] * c[2], 64), np.int64)
+              for c in comps]
+    reader = _JpegBits(segments)
+    preds = [0] * len(comps)
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.next_segment()
+            preds = [0] * len(comps)
+        for ci, dc_id, ac_id in scan:
+            _, ch, cv, _tq = comps[ci]
+            dct = huff_dc[dc_id]
+            act = huff_ac[ac_id]
+            base = mcu * ch * cv
+            for bi in range(ch * cv):
+                row = blocks[ci][base + bi]
+                t = reader.huff(dct)
+                diff = _jpeg_extend(reader.read(t), t) if t else 0
+                preds[ci] += diff
+                row[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:         # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break               # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    row[k] = _jpeg_extend(reader.read(s), s)
+                    k += 1
+
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        deq = blocks[ci] * qt[tq][None, :]
+        nat = np.zeros_like(deq)
+        nat[:, _JPEG_ZIGZAG] = deq          # de-zigzag
+        blk = nat.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ux,nuv,vy->nxy", _JPEG_IDCT_C, blk, _JPEG_IDCT_C)
+        pix = np.clip(np.round(pix + 128.0), 0, 255)
+        plane = (
+            pix.reshape(mcuy, mcux, cv, ch, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * ch * 8)
+        )
+        if hmax % ch or vmax % cv:
+            raise ValueError("non-integer JPEG subsampling ratio")
+        plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        y = planes[0].astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode to an HxWx3 uint8 array.
 
@@ -433,6 +703,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
         except ValueError:
             if not _HAVE_PIL:
                 raise  # corrupt PPM and no fallback decoder
+    if payload[:2] == b"\xff\xd8" and os.environ.get(
+        "SPARK_GRAFT_FAKE_MEDIA"
+    ) != "1":
+        try:
+            return _decode_jpeg(payload)
+        except ValueError:
+            if not _HAVE_PIL:
+                raise  # progressive/CMYK/corrupt JPEG and no fallback
     if _HAVE_PIL and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
         img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8)
@@ -561,17 +839,114 @@ def image_resize(media: DataFrame, height: int, width: int,
     return media.select(id_col, payload_col).mapInPandas(_resize, out_schema)
 
 
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF/AIFC (uncompressed) -> (mono float32 in [-1,1], sample_rate).
+
+    Hand-rolled IFF chunk walk (the stdlib ``aifc`` module is removed in
+    Python 3.13): COMM carries channels / sample width / an 80-bit
+    extended-float sample rate; SSND carries big-endian signed PCM.
+    Only ``NONE``/``sowt`` AIFC compression (i.e. plain PCM) supported."""
+    import struct
+
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, n = 12, len(payload)
+    comm = ssnd = None
+    little = False
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack(">I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    ch, _nframes, width_bits = struct.unpack(">hIh", comm[:8])
+    # 80-bit IEEE 754 extended float sample rate
+    (se,) = struct.unpack(">H", comm[8:10])
+    (mant,) = struct.unpack(">Q", comm[10:18])
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        raise ValueError("zero AIFF sample rate")
+    sr = int(round(mant * 2.0 ** (exp - 16383 - 63)))
+    if is_aifc:
+        ctype = comm[18:22]
+        if ctype == b"sowt":
+            little = True
+        elif ctype not in (b"NONE", b""):
+            raise ValueError(f"unsupported AIFC compression {ctype!r}")
+    data = ssnd[8:]  # skip offset + blocksize
+    if width_bits == 16:
+        x = np.frombuffer(
+            data[: len(data) // 2 * 2], "<i2" if little else ">i2"
+        ).astype(np.float32) / 32768.0
+    elif width_bits == 8:
+        x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    else:
+        raise ValueError(f"unsupported AIFF sample width {width_bits}")
+    if ch > 1:
+        x = x[: (x.size // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x.astype(np.float32), sr
+
+
+def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au -> (mono float32 in [-1,1], sample_rate).
+
+    Hand-rolled (stdlib ``sunau`` removed in Python 3.13): big-endian
+    header, encodings 1 (µ-law, G.711 expansion), 2 (8-bit linear),
+    3 (16-bit linear)."""
+    import struct
+
+    if payload[:4] != b".snd" or len(payload) < 24:
+        raise ValueError("not an AU payload")
+    off, dsize, enc, sr, ch = struct.unpack(">IIIII", payload[4:24])
+    if off < 24 or off > len(payload):
+        raise ValueError("bad AU data offset")
+    end = len(payload) if dsize == 0xFFFFFFFF else min(len(payload), off + dsize)
+    data = payload[off:end]
+    if enc == 1:    # 8-bit µ-law
+        u = ~np.frombuffer(data, np.uint8)
+        sign = (u.astype(np.int32) & 0x80)
+        exp = (u >> 4) & 0x07
+        mant = (u & 0x0F).astype(np.int32)
+        mag = ((mant << 3) + 0x84) << exp.astype(np.int32)
+        pcm = np.where(sign, 0x84 - mag, mag - 0x84).astype(np.float32)
+        x = pcm / 32768.0
+    elif enc == 2:  # 8-bit linear PCM (signed)
+        x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    elif enc == 3:  # 16-bit linear PCM
+        x = np.frombuffer(data[: len(data) // 2 * 2], ">i2").astype(
+            np.float32
+        ) / 32768.0
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    if ch > 1:
+        x = x[: (x.size // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x.astype(np.float32), sr
+
+
 def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """(mono float32 samples in [-1, 1], sample_rate).
 
     REAL decode for RIFF/WAVE payloads via stdlib ``wave`` (8/16-bit PCM,
-    multi-channel averaged to mono) — no external codec library needed.
-    Arbitrary non-WAV bytes fall back to a clearly-marked deterministic
-    STUB (raw little-endian int16 PCM at 16 kHz) so the batching/schema
-    plumbing is exercised for codecs this container lacks (mp3 etc.).
-    Raises on empty payload like a real decoder."""
+    multi-channel averaged to mono), AIFF/AIFC via the hand-rolled IFF
+    walk above, and Sun .au (µ-law + linear PCM) — no external codec
+    library needed. Arbitrary other bytes fall back to a clearly-marked
+    deterministic STUB (raw little-endian int16 PCM at 16 kHz) so the
+    batching/schema plumbing is exercised for codecs this container lacks
+    (mp3/flac/ogg etc.). Raises on empty payload like a real decoder."""
     if not payload:
         raise ValueError("empty audio payload")
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return _decode_au(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import wave
 

@@ -3,6 +3,8 @@ and physical-plan quality (pushdown, broadcast, codegen)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
@@ -1434,3 +1436,476 @@ def test_cc_driver_path_equals_loop(spark):
     got_e = connected_components(empty, vertices=verts)
     assert got_e._graft_cc_stats["cc_mode"] == "driver"
     assert all(r.doc_id == r.cluster_id for r in got_e.collect())
+
+
+# --- baseline JPEG decoder goldens ----------------------------------------
+#
+# Same pattern as the PNG/GIF/BMP sections: a minimal TEST-LOCAL encoder
+# (forward DCT + canonical Huffman writer, sharing NO code or tables with
+# the decoder under test) pins _decode_jpeg against ground truth, plus an
+# independent real-world cross-check against Spark's JVM ImageIO decoder
+# on the distribution's own sample JPEGs.
+
+_JPEG_ZZ = [
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_test_hufftable():
+    """Canonical Huffman spec covering all 256 symbols: 128 codes of
+    length 8 (symbols 0..127) then 128 of length 9 — valid per T.81
+    Annex C, no all-ones code. Returns (bits16, vals, {sym: (len, code)})."""
+    bits = [0] * 16
+    bits[7] = 128
+    bits[8] = 128
+    vals = bytes(range(256))
+    enc = {}
+    for s in range(128):
+        enc[s] = (8, s)
+    for s in range(128, 256):
+        enc[s] = (9, 256 + s - 128)
+    return bytes(bits), vals, enc
+
+
+class _JpegTestBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def flush(self):
+        while self._n:
+            self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+def _encode_jpeg(px, qt_scale=1, subsampling="444", restart=0):
+    """Minimal baseline JFIF encoder (test-local). px: HxWx3 uint8 RGB or
+    HxW grayscale. Flat quant table (all qt_scale) keeps the golden exact
+    for DC-only content and near-exact for smooth content."""
+    import struct
+
+    C = np.array([
+        [(np.sqrt(1 / 8) if u == 0 else 0.5)
+         * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+        for u in range(8)
+    ])
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "420":
+            # pad to even then 2x2 mean
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            def ds(p):
+                q = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return (q.reshape(ph // 2, 2, pw // 2, 2).mean((1, 3)))
+            planes = [y, ds(cb), ds(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qt = np.full(64, qt_scale, np.int64)
+    bits, vals, enc = _jpeg_test_hufftable()
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    bw = _JpegTestBitWriter()
+    preds = [0] * len(planes)
+    blocks_emitted = 0
+
+    def emit_block(blk, ci):
+        nonlocal blocks_emitted
+        F = C @ (blk - 128.0) @ C.T
+        q = np.round(F.ravel() / qt.reshape(8, 8).ravel()).astype(np.int64)
+        zz = q[np.array(_JPEG_ZZ)]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        t = cat(diff)
+        ln, code = enc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = cat(v)
+            ln, code = enc[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            ln, code = enc[0x00]  # EOB
+            bw.write(code, ln)
+        blocks_emitted += 1
+
+    chunks = []  # entropy chunks split at restart boundaries
+    for mcu in range(mcuy * mcux):
+        if restart and mcu and mcu % restart == 0:
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            bw.out.clear()
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+            ph = mcuy * sv * 8
+            pw2 = mcux * sh * 8
+            p = np.pad(plane, ((0, ph - plane.shape[0]),
+                               (0, pw2 - plane.shape[1])), mode="edge")
+            for by in range(sv):
+                for bx in range(sh):
+                    r0 = (my * sv + by) * 8
+                    c0 = (mx * sh + bx) * 8
+                    emit_block(p[r0:r0 + 8, c0:c0 + 8], ci)
+    bw.flush()
+    chunks.append(bytes(bw.out))
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(int(qt[i]) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc in (0, 1):
+        dht = bytes([(tc << 4) | 0]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    for i, ch in enumerate(chunks):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        out += ch
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_dc_only_golden():
+    """Solid-gray blocks are DC-only with a flat quant table: the decode
+    must be EXACT (level shift, DC coding, IDCT, and YCbCr for R=G=B all
+    round-trip without loss)."""
+    from fastcdc_rs_spark.operators.multimodal import _decode_image, _decode_jpeg
+
+    for gray in (0, 1, 127, 128, 200, 255):
+        px = np.full((16, 24, 3), gray, np.uint8)
+        payload = _encode_jpeg(px)
+        got = _decode_jpeg(payload)
+        assert got.shape == (16, 24, 3)
+        np.testing.assert_array_equal(got, px)
+    # dispatcher routes JPEG magic to the real decoder
+    px = np.full((8, 8, 3), 77, np.uint8)
+    np.testing.assert_array_equal(_decode_image(_encode_jpeg(px)), px)
+    # grayscale single-component frame replicates across channels
+    g = np.full((8, 16), 99, np.uint8)
+    got = _decode_jpeg(_encode_jpeg(g))
+    np.testing.assert_array_equal(got, np.repeat(g[:, :, None], 3, 2))
+
+
+def test_jpeg_roundtrip_smooth_gradient():
+    """Flat qt=1 on smooth content: reconstruction error is bounded by
+    coefficient rounding (~±3 after the color transform round-trip)."""
+    from fastcdc_rs_spark.operators.multimodal import _decode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack([
+        (yy * 5 + 20) % 256,
+        (xx * 3 + 90) % 256,
+        ((xx + yy) * 2 + 40) % 256,
+    ], -1).astype(np.uint8)
+    got = _decode_jpeg(_encode_jpeg(px))
+    assert got.shape == px.shape
+    d = np.abs(got.astype(int) - px.astype(int))
+    assert d.max() <= 4 and d.mean() < 1.0
+
+
+def test_jpeg_420_subsampling_and_restarts():
+    from fastcdc_rs_spark.operators.multimodal import _decode_jpeg
+
+    # 4:2:0 solid color: MCU layout + chroma upsample + color transform
+    # must reproduce the solid exactly (chroma planes are constant)
+    px = np.full((20, 35, 3), 0, np.uint8)
+    px[:, :, 0] = 180
+    px[:, :, 1] = 40
+    px[:, :, 2] = 220
+    got = _decode_jpeg(_encode_jpeg(px, subsampling="420"))
+    assert got.shape == (20, 35, 3)
+    d = np.abs(got.astype(int) - px.astype(int))
+    assert d.max() <= 1  # YCbCr forward+inverse rounding only
+
+    # restart markers: coefficients identical with and without DRI
+    yy, xx = np.mgrid[0:16, 0:48]
+    smooth = np.stack([yy * 7 % 256, xx * 2 % 256, (yy + xx) % 256],
+                      -1).astype(np.uint8)
+    a = _decode_jpeg(_encode_jpeg(smooth))
+    b = _decode_jpeg(_encode_jpeg(smooth, restart=2))
+    np.testing.assert_array_equal(a, b)
+    # 4:2:0 with restarts
+    c = _decode_jpeg(_encode_jpeg(smooth, subsampling="420", restart=1))
+    assert c.shape == smooth.shape
+
+
+def test_jpeg_non_baseline_and_corrupt_raise():
+    from fastcdc_rs_spark.operators.multimodal import _decode_jpeg
+
+    good = _encode_jpeg(np.full((8, 8, 3), 50, np.uint8))
+    # progressive: flip SOF0 marker to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        _decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        _decode_jpeg(b"\xff\xd8\xff\xd9")       # no SOF/SOS
+    with pytest.raises(ValueError):
+        _decode_jpeg(good[: len(good) // 2])    # truncated entropy data
+    with pytest.raises(ValueError):
+        _decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_through_image_operators(spark):
+    from fastcdc_rs_spark.operators.multimodal import image_features, image_resize
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(60, 200, (12, 16, 3))
+    px = base.astype(np.uint8)
+    payload = _encode_jpeg(px)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = image_features(media).first()
+    assert (r.height, r.width) == (12, 16)
+    rz = image_resize(media, 6, 8).first()
+    assert rz.height == 6 and rz.width == 8
+    assert len(bytes(rz.pixels)) == 6 * 8 * 3
+
+
+_SPARK_SAMPLE_JPEGS = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SPARK_SAMPLE_JPEGS),
+    reason="Spark sample images not present",
+)
+def test_jpeg_vs_jvm_imageio(spark):
+    """Independent real-world cross-check: Spark's `image` data source
+    decodes via javax.imageio (libjpeg-class decoder, no code shared with
+    ours). 4:4:4 files must agree at IDCT-rounding level; 4:2:0 files
+    agree on luma (our chroma upsample is replication, ImageIO's is
+    triangular — a documented decoder choice, not an error)."""
+    from fastcdc_rs_spark.operators.multimodal import _decode_jpeg
+
+    cases = [
+        (_SPARK_SAMPLE_JPEGS + "/kittens/DP802813.jpg", "full"),
+        (_SPARK_SAMPLE_JPEGS + "/multi-channel/chr30.4.184.jpg", "luma"),
+    ]
+    for path, mode in cases:
+        if not os.path.exists(path):
+            continue
+        row = (
+            spark.read.format("image").load(path).select("image.*").collect()[0]
+        )
+        jvm = (
+            np.frombuffer(bytes(row.data), np.uint8)
+            .reshape(row.height, row.width, row.nChannels)[:, :, ::-1]
+        )
+        mine = _decode_jpeg(open(path, "rb").read())
+        assert mine.shape == jvm.shape
+        if mode == "full":
+            d = np.abs(jvm.astype(int) - mine.astype(int))
+            assert d.mean() < 0.5
+        else:
+            def luma(a):
+                return (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                        + 0.114 * a[:, :, 2])
+            dl = np.abs(luma(jvm.astype(float)) - luma(mine.astype(float)))
+            assert dl.mean() < 0.5
+
+
+# --- AIFF / AU audio decoder goldens ---------------------------------------
+#
+# The hand-rolled parsers replace the stdlib aifc/sunau modules (removed
+# in Python 3.13). On 3.11 those modules still exist, so they serve as
+# INDEPENDENT encoders for the fixtures; audioop cross-checks µ-law.
+
+
+def test_aiff_decode_roundtrip():
+    import struct
+
+    from fastcdc_rs_spark.operators.multimodal import _decode_aiff, _decode_audio
+
+    pcm = (np.sin(np.arange(400) * 0.07) * 20000).astype(">i2")
+    try:  # independent stdlib encoder when available (3.11)
+        import io as _io
+        import warnings
+
+        import aifc
+
+        bio = _io.BytesIO()
+        bio.close = lambda: None  # aifc closes the stream on close()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            w = aifc.open(bio, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm.tobytes())
+            w.close()
+        payload = bio.getvalue()
+    except ImportError:  # 3.13+: hand-packed minimal AIFF
+        def ext80(rate):
+            exp = 16383
+            mant = rate << 63
+            while mant >= 1 << 64:
+                mant >>= 1
+                exp += 1
+            return struct.pack(">HQ", exp, mant)
+        comm = struct.pack(">hIh", 1, len(pcm), 16) + ext80(8000)
+        ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+        body = (b"AIFF"
+                + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        payload = b"FORM" + struct.pack(">I", len(body)) + body
+
+    x, sr = _decode_aiff(payload)
+    assert sr == 8000
+    np.testing.assert_allclose(
+        x, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+    # dispatcher routes FORM/AIFF magic to the real decoder
+    x2, sr2 = _decode_audio(payload)
+    np.testing.assert_array_equal(x, x2)
+    assert sr2 == 8000
+
+    # stereo averages to mono (hand-packed 16-bit fixture)
+    st = np.stack([pcm, -pcm], -1).ravel().astype(">i2")
+    import struct as _s
+
+    def ext80(rate):
+        exp = 16383
+        mant = rate << 63
+        while mant >= 1 << 64:
+            mant >>= 1
+            exp += 1
+        return _s.pack(">HQ", exp, mant)
+    comm = _s.pack(">hIh", 2, len(pcm), 16) + ext80(16000)
+    ssnd = _s.pack(">II", 0, 0) + st.tobytes()
+    body = (b"AIFF" + b"COMM" + _s.pack(">I", len(comm)) + comm
+            + b"SSND" + _s.pack(">I", len(ssnd)) + ssnd)
+    xm, srm = _decode_aiff(b"FORM" + _s.pack(">I", len(body)) + body)
+    assert srm == 16000
+    np.testing.assert_allclose(xm, np.zeros(len(pcm), np.float32), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        _decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    with pytest.raises(ValueError):
+        _decode_aiff(b"FORM" + _s.pack(">I", 4) + b"AIFF")  # no COMM/SSND
+
+
+def test_au_decode_linear_and_mulaw():
+    import struct
+
+    from fastcdc_rs_spark.operators.multimodal import _decode_au, _decode_audio
+
+    pcm = (np.cos(np.arange(300) * 0.11) * 12345).astype(">i2")
+    payload = struct.pack(">4sIIIII", b".snd", 24, len(pcm) * 2, 3, 11025, 1)
+    payload += pcm.tobytes()
+    x, sr = _decode_au(payload)
+    assert sr == 11025
+    np.testing.assert_allclose(x, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+    x2, sr2 = _decode_audio(payload)
+    np.testing.assert_array_equal(x, x2)
+
+    # µ-law: published code points (G.711): 0xFF -> 0, 0x00 -> -32124,
+    # 0x80 -> +32124
+    mu = bytes([0xFF, 0x00, 0x80])
+    pl = struct.pack(">4sIIIII", b".snd", 24, len(mu), 1, 8000, 1) + mu
+    xm, srm = _decode_au(pl)
+    assert srm == 8000
+    np.testing.assert_allclose(
+        xm * 32768.0, [0.0, -32124.0, 32124.0], atol=1e-3)
+    try:  # cross-check every code point against stdlib audioop (3.11)
+        import audioop
+
+        allcodes = bytes(range(256))
+        want = np.frombuffer(audioop.ulaw2lin(allcodes, 2), "<i2")
+        pl = struct.pack(">4sIIIII", b".snd", 24, 256, 1, 8000, 1) + allcodes
+        got, _ = _decode_au(pl)
+        np.testing.assert_allclose(got * 32768.0, want.astype(np.float64),
+                                   atol=1e-3)
+    except ImportError:
+        pass
+
+    with pytest.raises(ValueError):
+        _decode_au(b".snd" + b"\x00" * 8)  # truncated header
+    with pytest.raises(ValueError):
+        _decode_au(struct.pack(">4sIIIII", b".snd", 24, 4, 27, 8000, 1)
+                   + b"\x00" * 4)  # unsupported encoding
+
+
+def test_audio_features_aiff_au_through_operator(spark):
+    import struct
+
+    from fastcdc_rs_spark.operators.multimodal import audio_features
+
+    pcm = (np.sin(np.arange(1600) * 0.05) * 16000).astype(">i2")
+
+    def ext80(rate):
+        exp = 16383
+        mant = rate << 63
+        while mant >= 1 << 64:
+            mant >>= 1
+            exp += 1
+        return struct.pack(">HQ", exp, mant)
+
+    comm = struct.pack(">hIh", 1, len(pcm), 16) + ext80(16000)
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    aiff = b"FORM" + struct.pack(">I", len(body)) + body
+    au = struct.pack(">4sIIIII", b".snd", 24, len(pcm) * 2, 3, 16000, 1)
+    au += pcm.tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(aiff)), (2, bytearray(au))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert rows[1].sample_rate == 16000 and rows[2].sample_rate == 16000
+    assert rows[1].n_samples == 1600 and rows[2].n_samples == 1600
+    # identical PCM -> identical features through both containers
+    np.testing.assert_allclose(rows[1].rms, rows[2].rms, rtol=1e-6)
+    np.testing.assert_allclose(rows[1].band_rms, rows[2].band_rms, rtol=1e-6)
