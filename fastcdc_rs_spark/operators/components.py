@@ -55,9 +55,17 @@ def connected_components(
     one tiny createDataFrame — where the distributed loop pays 4+
     fixed-cost jobs (labels checkpoint + one per round) regardless of
     data size. Above the threshold the pointer-jumping DataFrame loop
-    runs as before; the probe is a ``limit(threshold+1)`` collect, so
-    deciding costs one bounded job, never an unbounded pull. NOTE the
-    probe partially evaluates the edge plan: callers with an expensive
+    runs as before. The size probe is ``edges.count()``: one
+    full-parallel job whose result is a single long, so driver memory
+    stays bounded — rows are pulled (Arrow ``toPandas`` over the now-
+    materialized cache) only once the count is known to fit. An earlier
+    shape, ``limit(threshold+1).toPandas()``, was measured WORSE at
+    exactly the scale it tried to optimize: Spark's incremental
+    collect-limit scans 1, then scaleUpFactor× more partitions per
+    round, sequentially — on the pipeline's persisted edge frame at 800k
+    docs/4 cores that was 8 jobs and ~7 s of mostly idle cores, where
+    one count() materializes every cache partition in parallel. NOTE
+    the probe evaluates the edge plan: callers with an expensive
     UNPERSISTED edge plan should persist it first (the pipeline does) or
     pass ``driver_max_edges=0`` to force the loop (tests pin
     loop==driver equality). The chosen path is observable in
@@ -67,11 +75,12 @@ def connected_components(
     """
     spark = edges.sparkSession
     if driver_max_edges:
-        # Arrow path: 2M (a, b) longs is ~32 MB, a sub-second pull
         t0 = time.perf_counter()
-        probe = edges.select("a", "b").limit(driver_max_edges + 1).toPandas()
-        probe_s = time.perf_counter() - t0
-        if len(probe) <= driver_max_edges:
+        n_edges = edges.count()
+        if n_edges <= driver_max_edges:
+            # Arrow pull: 2M (a, b) longs is ~32 MB, sub-second from cache
+            probe = edges.select("a", "b").toPandas()
+            probe_s = time.perf_counter() - t0
             return _cc_driver(spark, probe, vertices, id_col, probe_s)
     # AQE re-plans every round of an iterative loop from scratch; on the
     # small per-round shuffles here that costs ~10x more than the work

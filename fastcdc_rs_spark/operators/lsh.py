@@ -56,6 +56,16 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
         .where(F.col("bucket_size") > 1)
         .persist()
     )
+    # Materialize the window EAGERLY: the small-pairs and star-pairs
+    # branches below (and the prune joins downstream) are submitted as
+    # concurrent AQE stages, and on a cold cache they contend for the
+    # same uncomputed blocks (recompute or lock-wait — both burn a core
+    # slot) — measured as two identical ~21 s jobs at 800k docs/4 cores
+    # where the window runs once in ~13 s. One count() fills the cache
+    # at full parallelism; every branch then reads blocks. At 1 core the
+    # contention cannot express (tasks serialize), so this was a pure
+    # scale-efficiency leak, not a throughput bug.
+    annotated.count()
     # cache ownership: `annotated` feeds both pair branches and the
     # metrics below; callers that materialize the pairs (the pipeline,
     # jobs) release it via the _graft_caches attribute — a long-lived

@@ -135,8 +135,19 @@ def near_dup_clusters(
         units, k=cfg.shingle_k, n_perms=cfg.n_perms,
         bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
     )
-    # shingle sets feed both banding and verification → materialize once
+    # shingle sets feed both banding and verification → materialize once,
+    # EAGERLY: downstream, AQE submits the band-table shuffle and the two
+    # size-prefilter broadcast futures concurrently, and on a cold cache
+    # those stages contend for the same uncomputed partitions (a task
+    # either recomputes a block or blocks on its cache-write lock —
+    # both burn a core slot). Measured at 800k docs/4 cores as pairs of
+    # identical ~20 s jobs where the work runs once in ~6 s. One count()
+    # fills the cache at full parallelism; every consumer then reads
+    # blocks. At 1 core the contention cannot express (tasks serialize,
+    # later stages find the blocks), so this was a pure scale-efficiency
+    # leak, not a single-core throughput bug.
     signed = signed.persist()
+    signed.count()
 
     if cfg.candidates in ("minhash", "both"):
         bands_df = signed.select(

@@ -144,10 +144,11 @@ per-interleaved-pair {sig_pairs} (max {sig_pair_best:.3f})** (target >= 0.8)
 full-pipeline scaling efficiency N -> 4N: best-of {peff:.3f},
 per-interleaved-pair {pipe_pairs} (max {pipe_pair_best:.3f})
 (history: 0.434 at 100k docs (round 1), 0.612 at 800k (round 2), 0.704
-(round 3), 0.724 (round 4, size-adaptive driver CC + hub verify);
-measured round 5 after the hub-pair broadcast bound + zero-hub branch
-skip and the numpy-vectorized driver union-find landed —
-see docs/SCALE.md. Two estimators because best-of can MIX burst states
+(round 3), 0.724 (round 4, size-adaptive driver CC + hub verify), 0.749
+(round 5a, bounded/skippable hub broadcast + vectorized driver CC);
+measured after the round-5b cold-cache stage-contention fix (eager
+shared-cache materialization + count()-probe CC decision — see the
+contention section below) — see docs/SCALE.md. Two estimators because best-of can MIX burst states
 across levels (it has read >1.0 for the frozen sig job); each
 interleaved (N, 4N) pair shares one burst state, so the max per-pair
 number is the cleanest same-state reading this host allows. Interpret
@@ -262,6 +263,36 @@ whole-pipeline 0.749 is therefore the big stages' ~0.8-1.0 diluted by
 run moved 0.671 (r3) -> 0.760 pair-max (r5) with the floor unchanged),
 and on a real cluster the floor does not multiply with data at all.
 
+## Cold-cache stage contention (round 5 — the hidden 4-core tax)
+
+A per-job inventory via the status REST API (800k docs, 4 cores) showed
+the pipeline wall dominated by PAIRS of identical long jobs: two ~20 s
+jobs each carrying the bucket-window work, and two ~17 s jobs each
+carrying the signature stage. Cause: AQE submits a union's (and a
+join's) child stages concurrently, and when their shared input is a
+persisted-but-COLD DataFrame the stages contend for the same uncomputed
+cache partitions — a task either recomputes the block or parks on its
+cache-write lock, and both burn a core slot. At 1 core the contention
+cannot express (tasks serialize; the second consumer finds the block
+already cached), so the tax lands entirely on the 4-core side of the
+scaling pair: invisible in single-level throughput, corrosive to the
+efficiency ratio. Fix (pipeline.py, operators/lsh.py,
+operators/components.py): each shared cache is now materialized
+EAGERLY — one count() at full parallelism — before its consumers fan
+out, and the CC size probe became edges.count() + toPandas-from-cache
+(the old `limit(N+1).toPandas()` probe ran Spark's incremental
+collect-limit: 8 sequential scale-up jobs, ~7 s of mostly idle cores on
+the pipeline's persisted edge frame). Post-fix job inventory: every
+long job appears exactly once (signatures ~6 s, window ~13 s at 4
+cores); in the same burst-degraded measurement window the 4-core wall
+went 46-58 s -> 38 s, and the first same-state interleaved pair read
+pipeline 0.787 against a sig probe of only 0.681 — the pipeline
+exceeding the frozen-code map probe for the first time in any window.
+(The per-stage decomposition above was measured on persisted, warm
+inputs, which is why its isolated candidates time matches the post-fix
+in-pipeline job: the pre-fix in-pipeline excess was contention, never
+the stage itself.)
+
 ## Fixed per-job floor (why sandbox pipeline efficiency understates scale)
 
 The full pipeline carries a fixed-cost component that does not scale
@@ -326,12 +357,14 @@ The baseline-metric job (chunk+signature) holds >= 0.9 in quiet windows
 and >= 0.97 in the quietest. The full pipeline's efficiency moved
 0.612 -> 0.672 (CC one-job rounds, verify prefilter) -> 0.704 (bucket
 stats via a single-shuffle window) -> 0.724 (size-adaptive driver CC +
-hub verify) -> round 5's header number (hub-pair broadcast bounded and
+hub verify) -> 0.749 (round 5a: hub-pair broadcast bounded and
 skipped entirely when no hub pairs exist — two fewer broadcast
 barriers — and the driver union-find vectorized to numpy, removing the
 last interpreted per-edge driver CPU; the same changes lifted the
 32-core 800k pipeline to 50,305 docs/s, the best absolute throughput
-any round has recorded, +45% over round 4). Within each round-5
+any round had recorded, +45% over round 4) -> round 5b's header number
+(the cold-cache stage-contention fix above — the first change that
+attacks the 4-core side specifically rather than total work). Within each round-5
 interleaved rep the pipeline pair fell monotonically (0.749 -> 0.701)
 while the frozen-code sig pairs ROSE to 0.993 — the 4-core runs drain
 burst credits faster than the 1-core runs they are interleaved with,
