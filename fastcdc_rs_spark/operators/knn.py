@@ -190,6 +190,12 @@ def cosine_near_duplicates_banded(
     from ..cache import register_cache
 
     keys = register_cache(keys.persist())
+    # eager fill: the sizes aggregate and the join below read this cache
+    # from concurrent AQE stages; on a cold cache they contend for the
+    # same uncomputed blocks (recompute or lock-wait — both burn a task
+    # slot, and only when cores > 1: a pure scaling leak, see
+    # pipeline.py/lsh.py for the measured text-path twin)
+    keys.count()
     if bucket_cap is not None:
         sizes = keys.groupBy("band_id", "band_key").agg(
             F.count(F.lit(1)).alias("_bucket_size"),
@@ -200,6 +206,9 @@ def cosine_near_duplicates_banded(
         annotated = register_cache(
             keys.join(sizes, ["band_id", "band_key"]).persist()
         )
+        # same eager fill: the self-join's two aliases and the star
+        # branch fan out concurrently over this cache
+        annotated.count()
         small = annotated.where(F.col("_bucket_size") <= bucket_cap)
         cand_small = (
             small.alias("l")
