@@ -64,36 +64,51 @@ def connected_components(
     collect-limit scans 1, then scaleUpFactor× more partitions per
     round, sequentially — on the pipeline's persisted edge frame at 800k
     docs/4 cores that was 8 jobs and ~7 s of mostly idle cores, where
-    one count() materializes every cache partition in parallel. NOTE
-    the probe evaluates the edge plan: callers with an expensive
-    UNPERSISTED edge plan should persist it first (the pipeline does) or
-    pass ``driver_max_edges=0`` to force the loop (tests pin
-    loop==driver equality). The chosen path is observable in
+    one count() materializes every cache partition in parallel. An
+    UNPERSISTED edge plan is persisted here around the probe (and
+    released before returning), so the plan never evaluates twice even
+    for callers handing raw pair plans; ``driver_max_edges=0`` forces
+    the loop (tests pin loop==driver equality). The chosen path is
+    observable in
     ``_graft_cc_stats`` (``cc_mode``), and the probe/label timings ride
     there too (``cc_probe_s`` / ``cc_driver_s``) so bench regressions in
     this stage are attributable from the artifact alone.
     """
     spark = edges.sparkSession
-    if driver_max_edges:
-        t0 = time.perf_counter()
-        n_edges = edges.count()
-        if n_edges <= driver_max_edges:
-            # Arrow pull: 2M (a, b) longs is ~32 MB, sub-second from cache
-            probe = edges.select("a", "b").toPandas()
-            probe_s = time.perf_counter() - t0
-            return _cc_driver(spark, probe, vertices, id_col, probe_s)
-    # AQE re-plans every round of an iterative loop from scratch; on the
-    # small per-round shuffles here that costs ~10x more than the work
-    # itself (measured: 60s -> 4.6s at 2k docs). Disable it for the loop
-    # and restore after — the surrounding big scans/joins keep AQE.
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Round-5 ADVICE: the probe (count, then Arrow pull) evaluates the
+    # edge plan twice when the caller hands us an UNPERSISTED expensive
+    # plan (entry queries pass raw pair plans). Persist around the probe
+    # so the plan runs once; released before returning either way (the
+    # loop path's first checkpoint job materializes `sym` from this
+    # cache, after which it is dead weight).
+    lvl = edges.storageLevel
+    ephemeral = bool(driver_max_edges) and not (lvl.useMemory or lvl.useDisk)
+    if ephemeral:
+        edges = edges.persist()
     try:
-        return _cc_loop(edges, vertices, max_iter, id_col)
+        if driver_max_edges:
+            t0 = time.perf_counter()
+            n_edges = edges.count()
+            if n_edges <= driver_max_edges:
+                # Arrow pull: 2M (a, b) longs is ~32 MB, sub-second from cache
+                probe = edges.select("a", "b").toPandas()
+                probe_s = time.perf_counter() - t0
+                return _cc_driver(spark, probe, vertices, id_col, probe_s)
+        # AQE re-plans every round of an iterative loop from scratch; on the
+        # small per-round shuffles here that costs ~10x more than the work
+        # itself (measured: 60s -> 4.6s at 2k docs). Disable it for the loop
+        # and restore after — the surrounding big scans/joins keep AQE.
+        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return _cc_loop(edges, vertices, max_iter, id_col)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            spark.conf.set("spark.sql.shuffle.partitions", parts_before)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+        if ephemeral:
+            edges.unpersist()
 
 
 def _cc_driver(spark, edge_pdf, vertices: DataFrame | None,

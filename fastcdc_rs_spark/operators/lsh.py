@@ -39,20 +39,38 @@ __all__ = ["candidate_pairs"]
 def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
                     id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (a < b) from band buckets; also returns a
-    1-row metrics DataFrame with bucket statistics (nothing is dropped
+     1-row metrics DataFrame with bucket statistics (nothing is dropped
     silently — capped buckets degrade to star pairs, counted here).
+
+    If ``bands_df`` carries a ``_sz`` column (a per-doc constant — the
+    pipeline passes the distinct shingle-set size), the pairs come out
+    annotated with ``_sz_a``/``_sz_b``: the sizes ride the band window's
+    one shuffle for free, so the downstream size-ratio prune
+    (operators/verify.py) becomes a FILTER on the pair rows instead of
+    two shuffle joins — two exchanges and their AQE barriers deleted
+    from the verify critical path.
     """
+    has_sz = "_sz" in bands_df.columns
     # ONE shuffle of the band table: bucket size and min doc ride a
     # whole-partition window frame (no ORDER BY → no running-frame
     # semantics, one pass per bucket). Giant buckets are never
     # materialized as row-level lists: only small buckets (<= cap
     # members) use collect_list below, so no single row can exceed
-    # cap * 8 bytes regardless of data skew.
+    # cap * 16 bytes regardless of data skew.
     w = Window.partitionBy("band_id", "band_hash")
+    if has_sz:
+        # struct min orders on the leading id field (ids are distinct per
+        # bucket), so this is the min doc's (id, size) record — the star
+        # branch needs the hub's size without another lookup
+        min_expr = F.min(
+            F.struct(F.col(id_col).alias("id"), F.col("_sz").alias("sz"))
+        ).over(w)
+    else:
+        min_expr = F.struct(F.min(id_col).over(w).alias("id"))
     annotated = (
         bands_df
         .withColumn("bucket_size", F.count(F.lit(1)).over(w))
-        .withColumn("bucket_min", F.min(id_col).over(w))
+        .withColumn("_bmin", min_expr)
         .where(F.col("bucket_size") > 1)
         .persist()
     )
@@ -72,30 +90,56 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
     # session running many queries back-to-back must not accumulate
     # cached band tables.
 
-    pair_expr = F.filter(
-        F.flatten(
-            F.transform(
-                "members",
-                lambda x: F.transform(
-                    "members", lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
-    )
+    if has_sz:
+        member = F.struct(F.col(id_col).alias("id"), F.col("_sz").alias("sz"))
+        pair_expr = F.filter(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x: F.transform(
+                        "members",
+                        lambda y: F.struct(
+                            x["id"].alias("a"), y["id"].alias("b"),
+                            x["sz"].alias("_sz_a"), y["sz"].alias("_sz_b"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+        out_cols = ["a", "b", "_sz_a", "_sz_b"]
+        star_cols = [
+            F.col("_bmin.id").alias("a"), F.col(id_col).alias("b"),
+            F.col("_bmin.sz").alias("_sz_a"), F.col("_sz").alias("_sz_b"),
+        ]
+    else:
+        member = F.col(id_col)
+        pair_expr = F.filter(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x: F.transform(
+                        "members", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+        out_cols = ["a", "b"]
+        star_cols = [F.col("_bmin.id").alias("a"), F.col(id_col).alias("b")]
     # the cache is hash-partitioned on the band key, so this groupBy (and
     # the metrics aggregations below) run without another exchange
     small_pairs = explode_once(
         annotated.where(F.col("bucket_size") <= bucket_cap)
         .groupBy("band_id", "band_hash")
-        .agg(F.collect_list(id_col).alias("members")),
+        .agg(F.collect_list(member).alias("members")),
         pair_expr,
         "p",
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    ).select(*[F.col(f"p.{c}").alias(c) for c in out_cols])
 
     star_pairs = (
         annotated.where(F.col("bucket_size") > bucket_cap)
-        .select(F.col("bucket_min").alias("a"), F.col(id_col).alias("b"))
+        .select(*star_cols)
         .where(F.col("a") < F.col("b"))
     )
 

@@ -3,11 +3,14 @@
 Exact Jaccard similarity over the shingle sets of each candidate pair,
 in three stages:
 
-1. **Size-ratio prefilter** (narrow join): J(A,B) <= min(|A|,|B|) /
-   max(|A|,|B|), so any pair whose set sizes differ by more than the
-   threshold ratio cannot verify. The prune joins only (id, set_size)
-   longs — candidate pairs from hot/star buckets that connect docs of
-   very different sizes are dropped *before* any shingle array ships
+1. **Size-ratio prefilter**: J(A,B) <= min(|A|,|B|) / max(|A|,|B|), so
+   any pair whose set sizes differ by more than the threshold ratio
+   cannot verify. When the candidate stage annotated the pairs with
+   ``_sz_a``/``_sz_b`` (operators/lsh.py rides them on the band
+   window's shuffle), the prune is a pure row FILTER — zero exchanges.
+   Otherwise it falls back to a narrow join of (id, set_size) longs.
+   Either way, candidate pairs from hot/star buckets that connect docs
+   of very different sizes are dropped *before* any shingle array ships
    through a shuffle. The bound is exact, not probabilistic: no pair
    with J >= threshold is ever pruned, so recall is untouched by
    construction (the 400k-doc single-node parity stays 1.000000).
@@ -92,26 +95,39 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.8,
     shingled = shingled.select(
         F.col(id_col), F.array_distinct(shingles_col).alias(shingles_col)
     )
-    sizes = shingled.select(
-        F.col(id_col), F.size(shingles_col).alias("_sz")
+    # 1e-9 absolute slack: float rounding in t*max must never prune a
+    # pair whose real-arithmetic ratio equals t; the few
+    # infinitesimally-below-t pairs kept are dropped by the exact
+    # verification anyway.
+    ratio_keep = (
+        F.least("_sz_a", "_sz_b").cast("double")
+        >= F.lit(float(threshold)) * F.greatest("_sz_a", "_sz_b").cast("double")
+        - F.lit(1e-9)
     )
-    if threshold > 0:
+    has_sz = "_sz_a" in pairs.columns and "_sz_b" in pairs.columns
+    if has_sz:
+        # the candidate stage (operators/lsh.py) already annotated each
+        # pair with the two set sizes off its band window — the prune is
+        # a row filter, no exchange at all. Contract: the caller's sizes
+        # must be the DISTINCT set sizes (the kernel pipeline emits
+        # sorted-unique shingle arrays, so F.size(shingles) qualifies);
+        # pairs referencing ids absent from `shingled` are dropped by the
+        # inner array joins below exactly as the join prune dropped them.
+        if threshold > 0:
+            pairs = pairs.where(ratio_keep)
+        pairs = pairs.select("a", "b")
+    elif threshold > 0:
         # narrow prune: ship two longs per pair, not two arrays.
         # min/max >= threshold is necessary for J >= threshold; pairs
         # with an empty side survive only via the both-empty J=1 case.
+        sizes = shingled.select(
+            F.col(id_col), F.size(shingles_col).alias("_sz")
+        )
         za = sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sz_a"))
         zb = sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_sz_b"))
         pairs = (
             pairs.join(za, "a").join(zb, "b")
-            .where(
-                # 1e-9 absolute slack: float rounding in t*max must never
-                # prune a pair whose real-arithmetic ratio equals t; the
-                # few infinitesimally-below-t pairs kept are dropped by
-                # the exact verification anyway.
-                F.least("_sz_a", "_sz_b").cast("double")
-                >= F.lit(float(threshold)) * F.greatest("_sz_a", "_sz_b").cast("double")
-                - F.lit(1e-9)
-            )
+            .where(ratio_keep)
             .select("a", "b")
         )
     sa = shingled.select(

@@ -149,7 +149,19 @@ def near_dup_clusters(
     signed = signed.persist()
     signed.count()
 
-    if cfg.candidates in ("minhash", "both"):
+    if cfg.candidates == "minhash":
+        # _sz (distinct shingle-set size; the kernel emits sorted-unique
+        # arrays) rides the band explode so candidate_pairs can annotate
+        # each pair with both sizes off its one band shuffle — the verify
+        # size-ratio prune then filters pair rows instead of paying two
+        # shuffle joins (and their AQE barriers) on the critical path.
+        bands_df = signed.select(
+            id_col, F.size("shingles").alias("_sz"),
+            F.posexplode("bands").alias("band_id", "band_hash"),
+        )
+    elif cfg.candidates == "both":
+        # the simhash band table below has no size column; the union
+        # must be schema-consistent, so this mode keeps the join prune
         bands_df = signed.select(
             id_col, F.posexplode("bands").alias("band_id", "band_hash")
         )

@@ -55,7 +55,12 @@ def run_dedup_job(spark, inp: str, out: str, cfg: DedupConfig,
             bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
         ),
     )
-    bands_df = signed.select(id_col, F.posexplode("bands").alias("band_id", "band_hash"))
+    # _sz rides the band explode → verify's size-ratio prune is a filter
+    # on the checkpointed pair rows, not two joins (operators/lsh.py)
+    bands_df = signed.select(
+        id_col, F.size("shingles").alias("_sz"),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
     pairs_df, metrics = candidate_pairs(bands_df, bucket_cap=cfg.bucket_cap, id_col=id_col)
     pairs = run.stage("pairs", lambda: pairs_df)
     m = metrics.first().asDict()  # consume bucket stats before the release
