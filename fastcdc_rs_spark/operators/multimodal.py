@@ -3,17 +3,20 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partition-size control — is real and tested.
-Codecs: PNG, BMP, GIF, binary-PPM, and baseline JPEG images decode for
-REAL via stdlib-only decoders (``_decode_png``: zlib + filter
-reconstruction; ``_decode_bmp``: BI_RGB 8/24/32-bit incl. palette and
-top-down rows; ``_decode_gif``: full LZW + interlace + transparency,
-first frame; ``_decode_ppm``: P6; ``_decode_jpeg``: T.81 baseline
-sequential — Huffman, restart intervals, subsampling, batched numpy
-IDCT), WAV audio via stdlib ``wave``, and MJPEG video frames segment
-for REAL via a JPEG structure walker (``_jpeg_end``); other image
-formats use PIL when importable; remaining paths (progressive-JPEG/
-TIFF/WebP stills without PIL, non-WAV audio) are STUBBED with
-deterministic fakes, clearly marked below.
+Codecs: PNG, BMP, GIF, binary-PPM, and JPEG (baseline sequential AND
+progressive) images decode for REAL via stdlib-only decoders
+(``_decode_png``: zlib + filter reconstruction; ``_decode_bmp``: BI_RGB
+8/24/32-bit incl. palette and top-down rows; ``_decode_gif``: full LZW +
+interlace + transparency, first frame; ``_decode_ppm``: P6;
+``_decode_jpeg``: T.81 Huffman, restart intervals, subsampling,
+multi-scan sequential, progressive spectral selection + successive
+approximation (Annex G), batched numpy IDCT), WAV / AIFF-AIFC / Sun-AU
+(incl. G.711 mu-law) audio via stdlib decoders, and MJPEG video frames
+segment for REAL via a JPEG structure walker (``_jpeg_end``); other
+image formats use PIL when importable; remaining paths (arithmetic/
+lossless JPEG, TIFF/WebP stills without PIL, lossy-compressed audio —
+mp3/ogg/flac-class) are STUBBED with deterministic fakes, clearly
+marked below.
 Swapping in PIL/libsndfile/ffmpeg is a one-function change that does
 not alter any DataFrame contract.
 """
@@ -485,8 +488,220 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_split_entropy(payload: bytes, p: int) -> tuple[list[bytes], int]:
+    """Entropy-coded segments from ``p`` to the next non-RST marker,
+    stripping 0xFF00 stuffing and splitting at restart markers; returns
+    (segments, index of the terminating marker's 0xFF — or EOF)."""
+    n = len(payload)
+    segments: list[bytes] = []
+    cur = bytearray()
+    while p < n:
+        b = payload[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = payload[p + 1] if p + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif nxt == 0xFF:                   # fill byte before a marker
+            p += 1
+        elif 0xD0 <= nxt <= 0xD7:           # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:                               # EOI or any real marker ends scan
+            break
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _jpeg_block_full(reader: "_JpegBits", row, dct: dict, act: dict) -> int:
+    """Baseline-sequential block: DC diff + AC 1..63 (T.81 F.2.2) into the
+    zigzag-ordered ``row``; returns the DC diff (caller keeps the
+    per-component predictor and stores ``row[0]``)."""
+    t = reader.huff(dct)
+    diff = _jpeg_extend(reader.read(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = reader.huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                     # ZRL: sixteen zeros
+                k += 16
+                continue
+            break                           # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        row[k] = _jpeg_extend(reader.read(s), s)
+        k += 1
+    return diff
+
+
+def _jpeg_ac_first(reader: "_JpegBits", row, ss: int, se: int, al: int,
+                   act: dict, eobrun: int) -> int:
+    """Progressive AC first pass over one block (T.81 G.1.2.2): spectral
+    band ss..se at reduced precision (coefficients << al). Returns the
+    updated end-of-band run (blocks whose band is entirely zero)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1           # EOBn: this block + (2^r-1+bits) more
+            if r:
+                eobrun += reader.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        row[k] = _jpeg_extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(reader: "_JpegBits", row, ss: int, se: int, al: int,
+                    act: dict, eobrun: int) -> int:
+    """Progressive AC refinement pass over one block (T.81 G.1.2.3):
+    every already-nonzero coefficient in the band consumes a correction
+    bit; zero-history runs and newly significant ±(1<<al) coefficients
+    interleave with those corrections. Returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r         # includes THIS block's remainder
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            # advance over r zero-history coefficients, correcting the
+            # nonzero-history ones passed along the way
+            while k <= se:
+                coef = int(row[k])
+                if coef != 0:
+                    if reader.read_bit() and (coef & p1) == 0:
+                        row[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overflow")
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                      # rest of band: corrections only
+            coef = int(row[k])
+            if coef != 0:
+                if reader.read_bit() and (coef & p1) == 0:
+                    row[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(reader: "_JpegBits", sc, ss: int, se: int, ah: int,
+                      al: int, hdc: dict, hac: dict, ri: int, comps, blocks,
+                      mcux: int, mcuy: int, comp_bw, comp_bh,
+                      baseline: bool) -> None:
+    """Decode one scan into the zigzag coefficient arrays: a full
+    baseline-sequential scan (interleaved or single-component), or one
+    progressive pass (DC/AC × first/refinement, T.81 Annex G)."""
+    need_dc = baseline or (ss == 0 and ah == 0)
+    need_ac = baseline or ss > 0
+    for ci, dc_id, ac_id in sc:
+        # ValueError, not KeyError: undefined table ids must route through
+        # _decode_image's PIL fallback / on_error policy (round-5 ADVICE)
+        if need_dc and dc_id not in hdc:
+            raise ValueError(f"JPEG scan uses undefined DC table {dc_id}")
+        if need_ac and ac_id not in hac:
+            raise ValueError(f"JPEG scan uses undefined AC table {ac_id}")
+    if not baseline and ss == 0 and se != 0:
+        raise ValueError("bad progressive DC scan band")      # T.81 G.1: Se=0
+    if not baseline and ss > 0 and len(sc) != 1:
+        raise ValueError("interleaved progressive AC scan")  # illegal, T.81 G.1
+    interleaved = len(sc) > 1
+    if interleaved:
+        units = mcuy * mcux                  # MCU order
+    else:
+        # non-interleaved: raster order over the component's OWN block
+        # grid (T.81 A.2.2); one restart unit per block
+        units = comp_bw[sc[0][0]] * comp_bh[sc[0][0]]
+    preds = {ci: 0 for ci, _, _ in sc}
+    eobrun = 0
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            reader.next_segment()
+            preds = {ci: 0 for ci, _, _ in sc}
+            eobrun = 0
+        if interleaved:
+            for ci, dc_id, ac_id in sc:
+                _, ch, cv, _tq = comps[ci]
+                base = u * ch * cv
+                for bi in range(ch * cv):
+                    row = blocks[ci][base + bi]
+                    if baseline:
+                        preds[ci] += _jpeg_block_full(reader, row,
+                                                      hdc[dc_id], hac[ac_id])
+                        row[0] = preds[ci]
+                    elif ah == 0:           # DC first: diffs at Al precision
+                        t = reader.huff(hdc[dc_id])
+                        preds[ci] += _jpeg_extend(reader.read(t), t) if t else 0
+                        row[0] = preds[ci] << al
+                    elif reader.read_bit():  # DC refinement: one bit/block
+                        row[0] |= 1 << al
+        else:
+            ci, dc_id, ac_id = sc[0]
+            _, ch, cv, _tq = comps[ci]
+            by, bx = divmod(u, comp_bw[ci])
+            # map the component-raster block to its MCU-ordered slot
+            my, ry = divmod(by, cv)
+            mx, rx = divmod(bx, ch)
+            row = blocks[ci][(my * mcux + mx) * ch * cv + ry * ch + rx]
+            if baseline:
+                preds[ci] += _jpeg_block_full(reader, row, hdc[dc_id], hac[ac_id])
+                row[0] = preds[ci]
+            elif ss == 0:
+                if ah == 0:
+                    t = reader.huff(hdc[dc_id])
+                    preds[ci] += _jpeg_extend(reader.read(t), t) if t else 0
+                    row[0] = preds[ci] << al
+                elif reader.read_bit():
+                    row[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _jpeg_ac_first(reader, row, ss, se, al,
+                                        hac[ac_id], eobrun)
+            else:
+                eobrun = _jpeg_ac_refine(reader, row, ss, se, al,
+                                         hac[ac_id], eobrun)
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG -> HxWx3 uint8 (stdlib + numpy only).
+    """Baseline-sequential AND progressive JPEG -> HxWx3 uint8 (stdlib +
+    numpy only): T.81 Huffman decoding, restart intervals, subsampling,
+    multi-scan baseline files (non-interleaved scans decode for real, in
+    component-raster block order), progressive spectral selection +
+    successive approximation (Annex G), batched numpy IDCT.
 
     Reference parity note: the reference repo (nlfiedler/fastcdc-rs) has
     no media codecs; this exists for the training-data pipeline's
@@ -499,9 +714,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
-    frame = None          # (height, width, comps) from SOF0/SOF1
-    scan = None           # [(comp_index, dc_id, ac_id)] from SOS
-    data_at = None
+    frame = None          # (height, width, comps) from SOF0/1/2
+    progressive = False
+    # (scan_comps, ss, se, ah, al, entropy segments, DC/AC table
+    # snapshots, restart interval) per SOS — tables may be redefined
+    # between scans, so each scan captures the state it was coded under
+    scans: list[tuple] = []
     j = 2
     while j + 1 < n:
         if payload[j] != 0xFF:
@@ -533,7 +751,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
                     p += 64
                 qt[tq] = tbl
-        elif m in (0xC0, 0xC1):             # SOF0 baseline / SOF1 extended seq
+        elif m in (0xC0, 0xC1, 0xC2):       # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG frames")
+            progressive = m == 0xC2
             if seg[0] != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h = (seg[1] << 8) | seg[2]
@@ -546,9 +767,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError(
+                "unsupported JPEG mode (lossless/arithmetic/hierarchical)")
         elif m == 0xC4:                     # DHT: one or more tables
             p = 0
             while p < len(seg):
@@ -560,44 +782,38 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + nv
         elif m == 0xDD:                     # DRI
             restart_interval = (seg[0] << 8) | seg[1]
-        elif m == 0xDA:                     # SOS
+        elif m == 0xDA:                     # SOS (possibly one of many)
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             ids = [c[0] for c in frame[2]]
-            scan = []
+            sc = []
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
-                scan.append((ids.index(cid), tt >> 4, tt & 15))
-            data_at = j + 2 + seglen
-            break
+                if cid not in ids:
+                    raise ValueError("JPEG scan references unknown component")
+                sc.append((ids.index(cid), tt >> 4, tt & 15))
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_, al_ = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            segments, j = _jpeg_split_entropy(payload, j + 2 + seglen)
+            scans.append((sc, ss_, se_, ah_, al_, segments,
+                          dict(huff_dc), dict(huff_ac), restart_interval))
+            continue
         j += 2 + seglen
-    if frame is None or scan is None or data_at is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # split entropy data at restart markers, stripping 0xFF00 stuffing
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = data_at
-    while p < n:
-        b = payload[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
-            continue
-        nxt = payload[p + 1] if p + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            p += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            p += 2
-        else:                               # EOI or any real marker ends scan
-            break
-    segments.append(bytes(cur))
-
     height, width, comps = frame
+    for _cid, _ch, _cv, tq in comps:
+        # ValueError, not KeyError at dequant time (round-5 ADVICE)
+        if tq not in qt:
+            raise ValueError(f"JPEG frame uses undefined quant table {tq}")
+    # every component must be coded by at least one scan — a truncated
+    # multi-scan file previously decoded the first scan and silently
+    # emitted zero chroma (round-5 ADVICE)
+    covered = {ci for scan in scans for ci, _d, _a in scan[0]}
+    if covered != set(range(len(comps))):
+        raise ValueError("JPEG scans do not cover every component")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-width // (8 * hmax))
@@ -605,37 +821,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     # quantized coefficients per component: (mcuy*mcux*v*h, 64) zigzag
     blocks = [np.zeros((mcuy * mcux * c[1] * c[2], 64), np.int64)
               for c in comps]
-    reader = _JpegBits(segments)
-    preds = [0] * len(comps)
-    for mcu in range(mcuy * mcux):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            reader.next_segment()
-            preds = [0] * len(comps)
-        for ci, dc_id, ac_id in scan:
-            _, ch, cv, _tq = comps[ci]
-            dct = huff_dc[dc_id]
-            act = huff_ac[ac_id]
-            base = mcu * ch * cv
-            for bi in range(ch * cv):
-                row = blocks[ci][base + bi]
-                t = reader.huff(dct)
-                diff = _jpeg_extend(reader.read(t), t) if t else 0
-                preds[ci] += diff
-                row[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(act)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:         # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break               # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC index overflow")
-                    row[k] = _jpeg_extend(reader.read(s), s)
-                    k += 1
+    # per-component block grid for non-interleaved scans (T.81 A.2.2:
+    # ceil(ceil(dim*f/fmax)/8) == ceil(dim*f/(8*fmax)))
+    comp_bw = [-(-(width * c[1]) // (8 * hmax)) for c in comps]
+    comp_bh = [-(-(height * c[2]) // (8 * vmax)) for c in comps]
+    for sc, ss_, se_, ah_, al_, segments, hdc, hac, ri in scans:
+        if not progressive:
+            # sequential scans always code the full band at full precision;
+            # encoders write Ss/Se/Ah/Al = 0/63/0/0 but some mux garbage
+            ss_, se_, ah_, al_ = 0, 63, 0, 0
+        _jpeg_decode_scan(_JpegBits(segments), sc, ss_, se_, ah_, al_,
+                          hdc, hac, ri, comps, blocks, mcux, mcuy,
+                          comp_bw, comp_bh, baseline=not progressive)
 
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
@@ -710,7 +907,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
             return _decode_jpeg(payload)
         except ValueError:
             if not _HAVE_PIL:
-                raise  # progressive/CMYK/corrupt JPEG and no fallback
+                raise  # arithmetic/CMYK/corrupt JPEG and no fallback
     if _HAVE_PIL and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
         img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8)
@@ -881,7 +1078,13 @@ def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
             little = True
         elif ctype not in (b"NONE", b""):
             raise ValueError(f"unsupported AIFC compression {ctype!r}")
-    data = ssnd[8:]  # skip offset + blocksize
+    # SSND: u32 offset (block-aligned writers pad before the PCM) +
+    # u32 blocksize, then data starts `offset` bytes in (round-5 ADVICE:
+    # ignoring the offset decoded padding bytes as leading samples)
+    (ssnd_off,) = struct.unpack(">I", ssnd[0:4])
+    if 8 + ssnd_off > len(ssnd):
+        raise ValueError("bad AIFF SSND offset")
+    data = ssnd[8 + ssnd_off:]
     if width_bits == 16:
         x = np.frombuffer(
             data[: len(data) // 2 * 2], "<i2" if little else ">i2"

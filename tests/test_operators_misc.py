@@ -1686,7 +1686,9 @@ def test_jpeg_non_baseline_and_corrupt_raise():
     from fastcdc_rs_spark.operators.multimodal import _decode_jpeg
 
     good = _encode_jpeg(np.full((8, 8, 3), 50, np.uint8))
-    # progressive: flip SOF0 marker to SOF2
+    # flip SOF0 marker to SOF2: the file CLAIMS progressive but its scan
+    # header is baseline-shaped (Ss=0, Se=63 — illegal for a progressive
+    # DC scan, T.81 G.1), so the progressive path must reject it
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError):
         _decode_jpeg(prog)
@@ -1696,6 +1698,79 @@ def test_jpeg_non_baseline_and_corrupt_raise():
         _decode_jpeg(good[: len(good) // 2])    # truncated entropy data
     with pytest.raises(ValueError):
         _decode_jpeg(b"not a jpeg")
+
+
+_FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_progressive_jpeg_golden_vs_imageio():
+    """Progressive (SOF2) decode pinned against JVM ImageIO ground truth.
+
+    Fixtures were written by javax.imageio's JPEG encoder
+    (``JPEGImageWriteParam.setProgressiveMode(MODE_DEFAULT)`` — a
+    libjpeg-class multi-pass script: DC successive approximation plus
+    spectral-band AC first + refinement scans, exercising T.81 Annex G
+    end to end) and ground-truthed by ImageIO's own decoder — no code
+    shared with ours. Gray 4:4:4 must agree at IDCT-rounding level; the
+    RGB fixture is 4:2:0, where our chroma upsample is replication vs
+    ImageIO's triangular filter, so it is pinned at luma level (same
+    documented policy as test_jpeg_vs_jvm_imageio)."""
+    from fastcdc_rs_spark.operators.multimodal import _decode_jpeg
+
+    gray = open(os.path.join(_FIXTURES, "progressive_gray.jpg"), "rb").read()
+    assert b"\xff\xc2" in gray  # really SOF2
+    ref = np.load(os.path.join(_FIXTURES, "progressive_gray_imageio.npy"))
+    got = _decode_jpeg(gray)
+    assert got.shape == (*ref.shape, 3)
+    d = np.abs(got.astype(int) - np.stack([ref] * 3, -1).astype(int))
+    assert d.max() <= 1 and d.mean() < 0.05
+
+    rgb = open(os.path.join(_FIXTURES, "progressive_rgb.jpg"), "rb").read()
+    assert b"\xff\xc2" in rgb
+    ref = np.load(os.path.join(_FIXTURES, "progressive_rgb_imageio.npy"))
+    got = _decode_jpeg(rgb)
+    assert got.shape == ref.shape
+
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    dl = np.abs(luma(got.astype(float)) - luma(ref.astype(float)))
+    assert dl.max() <= 2.0 and dl.mean() < 0.5
+
+
+def test_progressive_jpeg_roundtrip_own_encoder():
+    """Our sequential encoder's output re-marked is NOT used here (that
+    would be self-referential); instead decode the progressive fixture
+    and the same image baseline-encoded by us must agree at luma level —
+    progressive vs sequential are two codings of identical coefficients."""
+    from fastcdc_rs_spark.operators.multimodal import _decode_jpeg
+
+    ref = np.load(os.path.join(_FIXTURES, "progressive_gray_imageio.npy"))
+    px = np.stack([ref] * 3, -1).astype(np.uint8)
+    seq = _decode_jpeg(_encode_jpeg(px))
+    prog = _decode_jpeg(
+        open(os.path.join(_FIXTURES, "progressive_gray.jpg"), "rb").read()
+    )
+    d = np.abs(seq.astype(int) - prog.astype(int))
+    assert d.max() <= 6 and d.mean() < 1.5  # two quant tables, same image
+
+
+def test_multimodal_docstring_matches_decoders():
+    """Guard against doc drift (round-5 VERDICT #4): the module header
+    must not call STUBBED any codec the dispatch actually implements."""
+    import fastcdc_rs_spark.operators.multimodal as mm
+
+    doc = mm.__doc__.lower()
+    start = doc.index("remaining paths (") + len("remaining paths (")
+    stub_clause = doc[start : doc.index(") are", start)]
+    for real in ("png", "bmp", "gif", "ppm", "progressive", "wav", "aiff",
+                 "au (", "mu-law"):
+        assert real not in stub_clause, f"docstring claims {real!r} is stubbed"
+    # and the real-codec list names every stdlib decoder that exists
+    for fn in ("_decode_png", "_decode_bmp", "_decode_gif", "_decode_ppm",
+               "_decode_jpeg"):
+        assert hasattr(mm, fn)
+        assert fn in mm.__doc__, f"{fn} missing from header codec list"
 
 
 def test_jpeg_through_image_operators(spark):
