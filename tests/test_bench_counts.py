@@ -41,6 +41,8 @@ def _realistic_bench_payload() -> dict:
         "queries": timings,
         "samples": samples,
         "reps": 3,
+        "burst": {"probe_s": [1.301, 2.602], "index": [1.0, 2.0]},
+        "rep_spread_max": ["ngram_jaccard", 1.82],
         "pipeline_metrics": pm,
         "scale2": {"factor": 10, "docs": 500000, "pipeline_docs": 800000,
                    "queries": s2q, "samples": samples},
@@ -66,6 +68,10 @@ def test_bench_final_line_fits_driver_tail_capture():
     assert back["pipeline_metrics"]["verified_pairs"] == 32270
     assert "samples" not in back and "samples" not in back["scale2"]
     assert "bucket_hist" not in back["pipeline_metrics"]
+    # the burst attribution (round-5 verdict: hot windows must be
+    # readable from the artifact alone) survives compaction
+    assert back["burst"]["index"] == [1.0, 2.0]
+    assert back["rep_spread_max"] == ["ngram_jaccard", 1.82]
 
 
 def test_claude_md_carries_no_hardcoded_test_count():
