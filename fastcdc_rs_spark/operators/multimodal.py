@@ -11,11 +11,13 @@ interlace + transparency, first frame; ``_decode_ppm``: P6;
 ``_decode_jpeg``: T.81 Huffman, restart intervals, subsampling,
 multi-scan sequential, progressive spectral selection + successive
 approximation (Annex G), batched numpy IDCT), WAV / AIFF-AIFC / Sun-AU
-(incl. G.711 mu-law) audio via stdlib decoders, and MJPEG video frames
+(incl. G.711 mu-law) / FLAC (``_decode_flac``: RFC 9639 — Rice + Rice2
+partitions, fixed + LPC predictors, stereo decorrelation, CRC-8/16
+verified) audio via stdlib-only decoders, and MJPEG video frames
 segment for REAL via a JPEG structure walker (``_jpeg_end``); other
 image formats use PIL when importable; remaining paths (arithmetic/
 lossless JPEG, TIFF/WebP stills without PIL, lossy-compressed audio —
-mp3/ogg/flac-class) are STUBBED with deterministic fakes, clearly
+mp3/ogg-class) are STUBBED with deterministic fakes, clearly
 marked below.
 Swapping in PIL/libsndfile/ffmpeg is a one-function change that does
 not alter any DataFrame contract.
@@ -1134,18 +1136,360 @@ def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.float32), sr
 
 
+# --- FLAC (RFC 9639 / xiph.org format spec) --------------------------------
+
+
+class _FlacBits:
+    """MSB-first bit reader over immutable bytes (FLAC is big-endian,
+    bit-packed). Positions are BIT offsets; frame boundaries are
+    byte-aligned so ``pos >> 3`` recovers byte offsets for CRC spans."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes, pos_bits: int = 0):
+        self.d = d
+        self.pos = pos_bits
+
+    def u(self, n: int) -> int:
+        p = self.pos
+        end = p + n
+        if end > len(self.d) * 8:
+            raise ValueError("truncated FLAC stream")
+        v = int.from_bytes(self.d[p >> 3 : (end + 7) >> 3], "big")
+        self.pos = end
+        return (v >> ((-end) % 8)) & ((1 << n) - 1)
+
+    def s(self, n: int) -> int:
+        """n-bit two's-complement signed (n == 0 -> 0, used by escaped
+        zero-bit residual partitions)."""
+        if n == 0:
+            return 0
+        v = self.u(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """Count 0 bits up to the terminating 1 bit (Rice quotients,
+        wasted-bits counts)."""
+        d, p = self.d, self.pos
+        nbits = len(d) * 8
+        q = 0
+        while True:
+            if p >= nbits:
+                raise ValueError("truncated FLAC stream")
+            rem = 8 - (p & 7)
+            chunk = d[p >> 3] & ((1 << rem) - 1)
+            if chunk == 0:
+                q += rem
+                p += rem
+            else:
+                lead = rem - chunk.bit_length()
+                self.pos = p + lead + 1
+                return q + lead
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_crc_table(poly: int, bits: int) -> list[int]:
+    top, mask = 1 << (bits - 1), (1 << bits) - 1
+    tbl = []
+    for i in range(256):
+        c = i << (bits - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) if c & top else (c << 1)
+        tbl.append(c & mask)
+    return tbl
+
+
+_FLAC_CRC8_TBL = _flac_crc_table(0x07, 8)       # x^8 + x^2 + x + 1
+_FLAC_CRC16_TBL = _flac_crc_table(0x8005, 16)   # x^16 + x^15 + x^2 + 1
+
+
+def _flac_crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC8_TBL[c ^ b]
+    return c
+
+
+def _flac_crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC16_TBL[(c >> 8) ^ b] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+def _flac_utf8_num(br: _FlacBits) -> int:
+    """FLAC's UTF-8-style extended coded number (frame/sample index; up to
+    36 bits -> 7 bytes, one past real UTF-8)."""
+    b0 = br.u(8)
+    if b0 < 0x80:
+        return b0
+    n1, m = 0, 0x80
+    while b0 & m:
+        n1 += 1
+        m >>= 1
+    if n1 == 1 or n1 > 7:
+        raise ValueError("bad FLAC coded number")
+    v = b0 & (0x7F >> n1)
+    for _ in range(n1 - 1):
+        c = br.u(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad FLAC coded number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> np.ndarray:
+    """Rice-partitioned residual (both methods: RICE 4-bit and RICE2 5-bit
+    params), escaped raw partitions included. Returns blocksize-order
+    prediction residuals."""
+    method = br.u(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    po = br.u(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("FLAC partition order does not divide blocksize")
+    out = np.empty(blocksize - order, np.int64)
+    idx = 0
+    for p in range(nparts):
+        cnt = blocksize // nparts - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        param = br.u(pbits)
+        if param == esc:
+            nb = br.u(5)
+            for _ in range(cnt):
+                out[idx] = br.s(nb)
+                idx += 1
+        else:
+            for _ in range(cnt):
+                q = br.unary()
+                v = (q << param) | br.u(param)
+                out[idx] = (v >> 1) ^ -(v & 1)   # zigzag -> signed
+                idx += 1
+    return out
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> np.ndarray:
+    """One subframe -> int64 samples. CONSTANT / VERBATIM / FIXED(0-4) /
+    LPC(1-32), wasted-bits shift included."""
+    if br.u(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    t = br.u(6)
+    wasted = 0
+    if br.u(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+        if bps <= 0:
+            raise ValueError("FLAC wasted bits exceed sample size")
+    if t == 0:       # CONSTANT
+        x = np.full(blocksize, br.s(bps), np.int64)
+    elif t == 1:     # VERBATIM
+        x = np.fromiter(
+            (br.s(bps) for _ in range(blocksize)), np.int64, blocksize
+        )
+    elif 8 <= t <= 12:   # FIXED, order t-8
+        order = t - 8
+        warm = [br.s(bps) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        x = np.empty(blocksize, np.int64)
+        x[:order] = warm
+        if order == 0:
+            x[:] = res
+        elif order == 1:
+            # x[i] = r[i] + x[i-1]: a cumulative sum seeded by the warm-up
+            x[1:] = warm[0] + np.cumsum(res)
+        else:
+            xi = [int(w) for w in warm]
+            coef = {2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1)}[order]
+            for i in range(order, blocksize):
+                acc = int(res[i - order])
+                for j, c in enumerate(coef):
+                    acc += c * xi[i - 1 - j]
+                xi.append(acc)
+            x = np.array(xi, np.int64)
+    elif t >= 32:    # LPC, order t-31
+        order = t - 31
+        warm = [br.s(bps) for _ in range(order)]
+        prec = br.u(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC precision")
+        prec += 1
+        shift = br.s(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.s(prec) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        xi = [int(w) for w in warm]
+        for i in range(order, blocksize):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * xi[i - 1 - j]
+            xi.append(int(res[i - order]) + (acc >> shift))
+        x = np.array(xi, np.int64)
+    else:
+        raise ValueError("reserved FLAC subframe type")
+    if wasted:
+        x = x << wasted
+    return x
+
+
+_FLAC_SR_TABLE = (0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+                  32000, 44100, 48000, 96000)
+_FLAC_BPS_TABLE = {0: None, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL stdlib+numpy FLAC decode -> (mono float32 in [-1,1], rate).
+
+    Full native-FLAC feature set for 1-8 channels: STREAMINFO + skipped
+    metadata blocks, fixed/variable blocking, all block-size/sample-rate/
+    sample-size header codes, UTF-8-coded frame numbers, CONSTANT /
+    VERBATIM / FIXED(0-4) / LPC(1-32) subframes, Rice + Rice2 residual
+    partitions with escaped raw partitions, wasted bits, and the three
+    stereo decorrelation modes (left/side, right/side, mid/side).
+    CRC-8 (header) and CRC-16 (frame) are verified; mismatches raise
+    ``ValueError`` like every other decoder here.
+
+    Unlike the JPEG/µ-law decoders there is no independent codec in this
+    container to cross-check against (no flac/ffmpeg/soundfile); the
+    goldens pin spec-constructed fixtures plus an independent bitwise-CRC
+    test encoder (tests/test_operators_misc.py), documented there.
+    """
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos, n = 4, len(payload)
+    streaminfo = None
+    last = False
+    while not last:
+        if pos + 4 > n:
+            raise ValueError("truncated FLAC metadata")
+        last = bool(payload[pos] & 0x80)
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        if pos + 4 + blen > n:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            streaminfo = payload[pos + 4:pos + 4 + blen]
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type")
+        pos += 4 + blen
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = _FlacBits(streaminfo)
+    si.u(16); si.u(16); si.u(24); si.u(24)
+    sr0 = si.u(20)
+    nch0 = si.u(3) + 1
+    bps0 = si.u(5) + 1
+    total = si.u(36)
+    if sr0 == 0:
+        raise ValueError("zero FLAC sample rate")
+
+    br = _FlacBits(payload, pos * 8)
+    parts: list[np.ndarray] = []
+    rate = sr0
+    got = 0
+    while (br.pos >> 3) < n and (total == 0 or got < total):
+        fstart = br.pos >> 3
+        if br.u(14) != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        if br.u(1):
+            raise ValueError("reserved FLAC frame bit")
+        br.u(1)                       # blocking strategy (fixed/variable)
+        bs_code = br.u(4)
+        sr_code = br.u(4)
+        ch_code = br.u(4)
+        ss_code = br.u(3)
+        if br.u(1):
+            raise ValueError("reserved FLAC frame bit")
+        _flac_utf8_num(br)            # frame/sample index (ordering unused)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 1:
+            bs = 192
+        elif bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bs = br.u(8) + 1
+        elif bs_code == 7:
+            bs = br.u(16) + 1
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0:
+            rate = sr0
+        elif sr_code <= 11:
+            rate = _FLAC_SR_TABLE[sr_code]
+        elif sr_code == 12:
+            rate = br.u(8) * 1000
+        elif sr_code == 13:
+            rate = br.u(16)
+        elif sr_code == 14:
+            rate = br.u(16) * 10
+        else:
+            raise ValueError("invalid FLAC sample rate code")
+        if ss_code not in _FLAC_BPS_TABLE:
+            raise ValueError("reserved FLAC sample size code")
+        bps = _FLAC_BPS_TABLE[ss_code] or bps0
+        hdr_end = br.pos >> 3
+        if _flac_crc8(payload[fstart:hdr_end]) != br.u(8):
+            raise ValueError("FLAC frame header CRC mismatch")
+        if ch_code <= 7:
+            nch = ch_code + 1
+        elif ch_code <= 10:
+            nch = 2
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        chans = []
+        for c in range(nch):
+            side = (
+                (ch_code == 8 and c == 1)
+                or (ch_code == 9 and c == 0)
+                or (ch_code == 10 and c == 1)
+            )
+            chans.append(_flac_subframe(br, bs, bps + (1 if side else 0)))
+        br.align()
+        crc_pos = br.pos >> 3
+        crc = br.u(16)
+        if _flac_crc16(payload[fstart:crc_pos]) != crc:
+            raise ValueError("FLAC frame CRC mismatch")
+        if ch_code == 8:      # left/side: R = L - S
+            chans = [chans[0], chans[0] - chans[1]]
+        elif ch_code == 9:    # right/side: L = R + S
+            chans = [chans[1] + chans[0], chans[1]]
+        elif ch_code == 10:   # mid/side
+            s = chans[1]
+            m = (chans[0] << 1) | (s & 1)
+            chans = [(m + s) >> 1, (m - s) >> 1]
+        frame = np.stack(chans).mean(axis=0) / float(1 << (bps - 1))
+        parts.append(frame.astype(np.float32))
+        got += bs
+    if not parts:
+        raise ValueError("FLAC stream has no frames")
+    x = np.concatenate(parts)
+    if total and x.size > total:
+        x = x[:total]
+    return x.astype(np.float32), rate
+
+
 def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """(mono float32 samples in [-1, 1], sample_rate).
 
     REAL decode for RIFF/WAVE payloads via stdlib ``wave`` (8/16-bit PCM,
     multi-channel averaged to mono), AIFF/AIFC via the hand-rolled IFF
-    walk above, and Sun .au (µ-law + linear PCM) — no external codec
-    library needed. Arbitrary other bytes fall back to a clearly-marked
-    deterministic STUB (raw little-endian int16 PCM at 16 kHz) so the
-    batching/schema plumbing is exercised for codecs this container lacks
-    (mp3/flac/ogg etc.). Raises on empty payload like a real decoder."""
+    walk above, Sun .au (µ-law + linear PCM), and native FLAC via the
+    full Rice/LPC decoder above — no external codec library needed.
+    Arbitrary other bytes fall back to a clearly-marked deterministic
+    STUB (raw little-endian int16 PCM at 16 kHz) so the batching/schema
+    plumbing is exercised for codecs this container lacks (mp3/ogg
+    etc.). Raises on empty payload like a real decoder."""
     if not payload:
         raise ValueError("empty audio payload")
+    if payload[:4] == b"fLaC":
+        return _decode_flac(payload)
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return _decode_aiff(payload)
     if payload[:4] == b".snd":

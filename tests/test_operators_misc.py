@@ -1764,11 +1764,11 @@ def test_multimodal_docstring_matches_decoders():
     start = doc.index("remaining paths (") + len("remaining paths (")
     stub_clause = doc[start : doc.index(") are", start)]
     for real in ("png", "bmp", "gif", "ppm", "progressive", "wav", "aiff",
-                 "au (", "mu-law"):
+                 "au (", "mu-law", "flac"):
         assert real not in stub_clause, f"docstring claims {real!r} is stubbed"
     # and the real-codec list names every stdlib decoder that exists
     for fn in ("_decode_png", "_decode_bmp", "_decode_gif", "_decode_ppm",
-               "_decode_jpeg"):
+               "_decode_jpeg", "_decode_flac"):
         assert hasattr(mm, fn)
         assert fn in mm.__doc__, f"{fn} missing from header codec list"
 
@@ -1984,6 +1984,379 @@ def test_audio_features_aiff_au_through_operator(spark):
     # identical PCM -> identical features through both containers
     np.testing.assert_allclose(rows[1].rms, rows[2].rms, rtol=1e-6)
     np.testing.assert_allclose(rows[1].band_rms, rows[2].band_rms, rtol=1e-6)
+
+
+# --- FLAC decoder goldens ---------------------------------------------------
+#
+# No independent FLAC codec exists in this container (no flac/ffmpeg/
+# soundfile; JVM javax.sound ships no FLAC SPI) — unlike JPEG (ImageIO)
+# and µ-law (audioop). The fixtures are therefore SPEC-CONSTRUCTED: the
+# minimal test encoder below writes streams per RFC 9639 using bitwise
+# (table-free) CRC implementations — independent of the decoder's
+# table-driven CRCs and numpy reconstruction — and one committed
+# byte-pinned fixture locks the wire format so drift on either side
+# fails loudly.
+
+
+class _FlacW:
+    """MSB-first bit writer (test encoder)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, v, n):
+        assert 0 <= v < (1 << n) or n == 0 and v == 0
+        self.acc = (self.acc << n) | v
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def s(self, v, n):
+        self.u(v & ((1 << n) - 1), n)
+
+    def align(self):
+        if self.n:
+            self.u(0, 8 - self.n)
+
+    def data(self):
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _crc8_bitwise(data):
+    c = 0
+    for b in data:
+        for i in range(7, -1, -1):
+            fb = ((c >> 7) & 1) ^ ((b >> i) & 1)
+            c = (c << 1) & 0xFF
+            if fb:
+                c ^= 0x07
+    return c
+
+
+def _crc16_bitwise(data):
+    c = 0
+    for b in data:
+        for i in range(7, -1, -1):
+            fb = ((c >> 15) & 1) ^ ((b >> i) & 1)
+            c = (c << 1) & 0xFFFF
+            if fb:
+                c ^= 0x8005
+    return c
+
+
+def _flac_w_utf8(w, v):
+    if v < 0x80:
+        w.u(v, 8)
+        return
+    caps = {2: 11, 3: 16, 4: 21, 5: 26, 6: 31, 7: 36}
+    nb = next(k for k in range(2, 8) if v < (1 << caps[k]))
+    head_bits = caps[nb] - 6 * (nb - 1)
+    w.u((1 << nb) - 1, nb)
+    w.u(0, 1)
+    w.u((v >> (6 * (nb - 1))) & ((1 << head_bits) - 1), head_bits)
+    for i in range(nb - 2, -1, -1):
+        w.u(0b10, 2)
+        w.u((v >> (6 * i)) & 0x3F, 6)
+
+
+def _flac_w_residual(w, res, order, po=0, param=10, method=0, escape_bits=None):
+    pbits = 4 if method == 0 else 5
+    w.u(method, 2)
+    w.u(po, 4)
+    nparts = 1 << po
+    bs = len(res) + order
+    assert bs % nparts == 0
+    idx = 0
+    for p in range(nparts):
+        cnt = bs // nparts - (order if p == 0 else 0)
+        if escape_bits is not None and p in escape_bits:
+            nb = escape_bits[p]
+            w.u((1 << pbits) - 1, pbits)
+            w.u(nb, 5)
+            for _ in range(cnt):
+                w.s(int(res[idx]), nb)
+                idx += 1
+        else:
+            w.u(param, pbits)
+            for _ in range(cnt):
+                v = int(res[idx])
+                idx += 1
+                z = 2 * v if v >= 0 else -2 * v - 1
+                w.u(0, z >> param)
+                w.u(1, 1)
+                w.u(z & ((1 << param) - 1), param)
+
+
+_FLAC_FIXED_COEF = {1: (1,), 2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1)}
+
+
+def _flac_w_subframe(w, x, bps, kind="verbatim", order=0, po=0, param=10,
+                     method=0, escape_bits=None, coefs=None, shift=0,
+                     prec=12, wasted=0):
+    w.u(0, 1)
+    tcode = {"constant": 0, "verbatim": 1}.get(kind)
+    if kind == "fixed":
+        tcode = 8 + order
+    elif kind == "lpc":
+        tcode = 31 + order
+    w.u(tcode, 6)
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in x)
+        x = [v >> wasted for v in x]
+        bps -= wasted
+        w.u(1, 1)
+        w.u(0, wasted - 1)
+        w.u(1, 1)
+    else:
+        w.u(0, 1)
+        x = [int(v) for v in x]
+    if kind == "constant":
+        assert len(set(x)) == 1
+        w.s(x[0], bps)
+    elif kind == "verbatim":
+        for v in x:
+            w.s(v, bps)
+    elif kind == "fixed":
+        for v in x[:order]:
+            w.s(v, bps)
+        coef = _FLAC_FIXED_COEF.get(order, ())
+        res = [
+            x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(order, len(x))
+        ]
+        _flac_w_residual(w, res, order, po, param, method, escape_bits)
+    elif kind == "lpc":
+        for v in x[:order]:
+            w.s(v, bps)
+        w.u(prec - 1, 4)
+        w.s(shift, 5)
+        for c in coefs:
+            w.s(c, prec)
+        res = [
+            x[i] - (sum(coefs[j] * x[i - 1 - j] for j in range(order)) >> shift)
+            for i in range(order, len(x))
+        ]
+        _flac_w_residual(w, res, order, po, param, method, escape_bits)
+
+
+def _flac_w_frame(chans, frame_no, bps, ch_mode="indep", sub=None):
+    w = _FlacW()
+    bs = len(chans[0])
+    w.u(0x3FFE, 14)
+    w.u(0, 1)
+    w.u(0, 1)  # fixed-blocksize strategy
+    pow2 = (bs & (bs - 1)) == 0
+    if bs == 192:
+        bs_code, bs_extra, bs_ebits = 1, None, 0
+    elif bs in (576, 1152, 2304, 4608):
+        bs_code = 2 + (576, 1152, 2304, 4608).index(bs)
+        bs_extra, bs_ebits = None, 0
+    elif pow2 and 256 <= bs <= 32768:
+        bs_code, bs_extra, bs_ebits = 8 + (bs // 256).bit_length() - 1, None, 0
+    elif bs <= 256:
+        bs_code, bs_extra, bs_ebits = 6, bs - 1, 8
+    else:
+        bs_code, bs_extra, bs_ebits = 7, bs - 1, 16
+    w.u(bs_code, 4)
+    w.u(0, 4)  # sample rate: from STREAMINFO
+    ch_codes = {"ls": 8, "rs": 9, "ms": 10}
+    w.u(ch_codes.get(ch_mode, len(chans) - 1), 4)
+    w.u({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+    w.u(0, 1)
+    _flac_w_utf8(w, frame_no)
+    if bs_extra is not None:
+        w.u(bs_extra, bs_ebits)
+    w.u(_crc8_bitwise(w.data()), 8)
+    side_idx = {"ls": 1, "rs": 0, "ms": 1}.get(ch_mode)
+    for c, x in enumerate(chans):
+        spec = dict(sub[c]) if sub else {"kind": "verbatim"}
+        _flac_w_subframe(w, x, bps + (1 if c == side_idx else 0), **spec)
+    w.align()
+    w.u(_crc16_bitwise(w.data()), 16)
+    return w.data()
+
+
+def _encode_flac(pcm, sr, bps=16, blocksize=256, ch_mode="indep", sub=None):
+    """pcm: int array (n,) or (n, ch). ch_mode indep|ls|rs|ms (stereo)."""
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, nch = pcm.shape
+    w = _FlacW()
+    w.u(min(blocksize, n), 16)
+    w.u(blocksize, 16)
+    w.u(0, 24)
+    w.u(0, 24)
+    w.u(sr, 20)
+    w.u(nch - 1, 3)
+    w.u(bps - 1, 5)
+    w.u(n, 36)
+    streaminfo = w.data() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last-block flag | type 0 = STREAMINFO
+    out += len(streaminfo).to_bytes(3, "big") + streaminfo
+    for fno, start in enumerate(range(0, n, blocksize)):
+        blk = pcm[start:start + blocksize]
+        if ch_mode == "indep":
+            chans = [blk[:, c].tolist() for c in range(nch)]
+        else:
+            L, R = blk[:, 0].astype(np.int64), blk[:, 1].astype(np.int64)
+            if ch_mode == "ls":
+                chans = [L.tolist(), (L - R).tolist()]
+            elif ch_mode == "rs":
+                chans = [(L - R).tolist(), R.tolist()]
+            else:
+                chans = [((L + R) >> 1).tolist(), (L - R).tolist()]
+        out += _flac_w_frame(chans, fno, bps, ch_mode, sub)
+    return bytes(out)
+
+
+def test_flac_decode_fixed_multiframe():
+    from fastcdc_rs_spark.operators.multimodal import _decode_audio, _decode_flac
+
+    rng = np.random.default_rng(7)
+    pcm = np.cumsum(rng.integers(-90, 90, 600)).astype(np.int64)
+    # 3 frames: 256, 256, then a partial 88-sample tail frame
+    payload = _encode_flac(
+        pcm, 22050, blocksize=256,
+        sub=[{"kind": "fixed", "order": 2, "po": 1, "param": 9}],
+    )
+    x, sr = _decode_flac(payload)
+    assert sr == 22050 and x.dtype == np.float32
+    np.testing.assert_allclose(x, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+    x2, sr2 = _decode_audio(payload)
+    np.testing.assert_array_equal(x, x2)
+    # natural block-size codes (192 / power-of-two) take the table path
+    p192 = _encode_flac(pcm[:384], 8000, blocksize=192,
+                        sub=[{"kind": "fixed", "order": 1, "param": 8}])
+    x3, sr3 = _decode_flac(p192)
+    assert sr3 == 8000
+    np.testing.assert_allclose(x3, pcm[:384] / 32768.0, atol=1e-7)
+
+
+def test_flac_subframe_types_and_stereo_modes():
+    from fastcdc_rs_spark.operators.multimodal import _decode_flac
+
+    rng = np.random.default_rng(11)
+    n = 192
+    # constant / verbatim / LPC / wasted-bits, all in one stereo signal
+    L = np.cumsum(rng.integers(-60, 60, n)).astype(np.int64)
+    R = (L // 2 + rng.integers(-20, 20, n)).astype(np.int64)
+    pcm = np.stack([L, R], 1)
+    want = ((L + R) / 2.0 / 32768.0).astype(np.float32)
+    outs = {}
+    lpc = {"kind": "lpc", "order": 2, "coefs": [50, -20], "shift": 5,
+           "prec": 12, "param": 11}
+    for mode in ("indep", "ls", "rs", "ms"):
+        payload = _encode_flac(pcm, 44100, blocksize=192, ch_mode=mode,
+                               sub=[lpc, {"kind": "verbatim"}])
+        x, sr = _decode_flac(payload)
+        assert sr == 44100
+        outs[mode] = x
+        np.testing.assert_allclose(x, want, atol=1e-7)
+    for mode in ("ls", "rs", "ms"):  # bit-identical reconstruction
+        np.testing.assert_array_equal(outs["indep"], outs[mode])
+    # constant subframe + wasted bits (samples share a factor of 4)
+    const = np.full(n, -1234 * 4, np.int64)
+    payload = _encode_flac(const, 16000, blocksize=192,
+                           sub=[{"kind": "constant", "wasted": 2}])
+    x, _ = _decode_flac(payload)
+    np.testing.assert_allclose(x, const / 32768.0, atol=1e-7)
+    # wasted bits over a FIXED subframe too
+    fx = (np.cumsum(rng.integers(-30, 30, n)) * 8).astype(np.int64)
+    payload = _encode_flac(fx, 16000, blocksize=192,
+                           sub=[{"kind": "fixed", "order": 1, "param": 7,
+                                 "wasted": 3}])
+    x, _ = _decode_flac(payload)
+    np.testing.assert_allclose(x, fx / 32768.0, atol=1e-7)
+
+
+def test_flac_rice2_escapes_and_multibyte_frameno():
+    from fastcdc_rs_spark.operators.multimodal import _decode_flac
+
+    rng = np.random.default_rng(13)
+    # > 128 frames of 16 samples: frame numbers cross into 2-byte UTF-8
+    pcm = np.cumsum(rng.integers(-40, 40, 16 * 140)).astype(np.int64)
+    payload = _encode_flac(
+        pcm, 12345, blocksize=16,  # odd rate rides the 16-bit-Hz... no:
+        # rate comes from STREAMINFO here; the point is the frame count
+        sub=[{"kind": "fixed", "order": 1, "param": 7, "method": 1}],
+    )
+    x, sr = _decode_flac(payload)
+    assert sr == 12345
+    np.testing.assert_allclose(x, pcm / 32768.0, atol=1e-7)
+    # escaped partitions: partition 1 raw 7-bit, partition 3 all-zero run
+    res_src = np.zeros(64, np.int64)
+    res_src[:16] = rng.integers(-50, 50, 16)
+    res_src[16:32] = rng.integers(-60, 60, 16)   # escaped raw 7-bit
+    res_src[32:48] = rng.integers(-50, 50, 16)
+    pcm2 = np.cumsum(res_src)                    # order-1 fixed: residual = diff
+    payload = _encode_flac(
+        pcm2, 8000, blocksize=64,
+        sub=[{"kind": "fixed", "order": 1, "param": 7, "po": 2,
+              "escape_bits": {1: 7, 3: 0}}],
+    )
+    x2, _ = _decode_flac(payload)
+    np.testing.assert_allclose(x2, pcm2 / 32768.0, atol=1e-7)
+
+
+def test_flac_pinned_fixture():
+    """Byte-pinned committed fixture: locks the encoder AND decoder to the
+    wire format (any spec drift on either side changes these bytes or
+    their decode)."""
+    from fastcdc_rs_spark.operators.multimodal import _decode_flac
+
+    payload = _encode_flac(np.array([100, 200, 300, 400], np.int64), 8000,
+                           blocksize=4, sub=[{"kind": "verbatim"}])
+    assert payload.hex() == (
+        "664c6143800000220004000400000000000001f400f00000000400000000"
+        "000000000000000000000000fff860080003b202006400c8012c0190cc90"
+    )
+    x, sr = _decode_flac(payload)
+    assert sr == 8000
+    np.testing.assert_allclose(
+        x * 32768.0, [100.0, 200.0, 300.0, 400.0], atol=1e-4)
+
+
+def test_flac_error_paths():
+    from fastcdc_rs_spark.operators.multimodal import _decode_flac
+
+    good = _encode_flac(np.arange(64, dtype=np.int64) * 3, 8000,
+                        blocksize=64, sub=[{"kind": "verbatim"}])
+    with pytest.raises(ValueError):
+        _decode_flac(b"fLaX" + good[4:])
+    with pytest.raises(ValueError):
+        _decode_flac(good[:20])            # truncated metadata
+    bad = bytearray(good)
+    bad[-3] ^= 0x40                        # flip a bit inside the last frame
+    with pytest.raises(ValueError):        # CRC-16 must catch it
+        _decode_flac(bytes(bad))
+    hdr = bytearray(good)
+    # STREAMINFO starts at byte 8; corrupt a frame-header byte instead:
+    # frame starts at 8 + 34; flip the block-size code field
+    hdr[8 + 34 + 2] ^= 0x10
+    with pytest.raises(ValueError):        # CRC-8 must catch it
+        _decode_flac(bytes(hdr))
+
+
+def test_audio_features_flac_through_operator(spark):
+    from fastcdc_rs_spark.operators.multimodal import audio_features
+
+    pcm = (np.sin(np.arange(1600) * 0.05) * 16000).astype(np.int64)
+    payload = _encode_flac(pcm, 16000, blocksize=256,
+                           sub=[{"kind": "fixed", "order": 2, "param": 10}])
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = audio_features(media).first()
+    assert r.sample_rate == 16000 and r.n_samples == 1600
+    want_rms = float(np.sqrt(np.mean((pcm / 32768.0) ** 2)))
+    np.testing.assert_allclose(r.rms, want_rms, rtol=1e-5)
 
 
 def test_candidate_pairs_size_fold_and_filter_prune(spark):
