@@ -10,13 +10,15 @@ progressive) images decode for REAL via stdlib-only decoders
 interlace + transparency, first frame; ``_decode_ppm``: P6;
 ``_decode_jpeg``: T.81 Huffman, restart intervals, subsampling,
 multi-scan sequential, progressive spectral selection + successive
-approximation (Annex G), batched numpy IDCT), WAV / AIFF-AIFC / Sun-AU
+approximation (Annex G), batched numpy IDCT; ``_decode_tiff``:
+baseline strips, both byte orders, LZW incl. horizontal predictor,
+PackBits, gray/RGB/palette), WAV / AIFF-AIFC / Sun-AU
 (incl. G.711 mu-law) / FLAC (``_decode_flac``: RFC 9639 — Rice + Rice2
 partitions, fixed + LPC predictors, stereo decorrelation, CRC-8/16
 verified) audio via stdlib-only decoders, and MJPEG video frames
 segment for REAL via a JPEG structure walker (``_jpeg_end``); other
 image formats use PIL when importable; remaining paths (arithmetic/
-lossless JPEG, TIFF/WebP stills without PIL, lossy-compressed audio —
+lossless JPEG, WebP stills without PIL, lossy-compressed audio —
 mp3/ogg-class) are STUBBED with deterministic fakes, clearly
 marked below.
 Swapping in PIL/libsndfile/ffmpeg is a one-function change that does
@@ -864,6 +866,181 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
 
 
+def _tiff_lzw(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, CLEAR=256/EOI=257, and the
+    TIFF6 "early change" — the encoder widens the code size at table size
+    2^w - 1, so the decoder (one append behind the encoder's assignments)
+    widens at 2^w - 2. GIF's LZW (``_gif_lzw``) is LSB-first without the
+    early change, hence a separate implementation."""
+    out = bytearray()
+    pos, nbits = 0, len(data) * 8
+    width = 9
+    table: list[bytes] = []
+    prev = None
+    while pos + width <= nbits:
+        chunk = int.from_bytes(data[pos >> 3:(pos + width + 7) >> 3], "big")
+        code = (chunk >> ((-(pos + width)) % 8)) & ((1 << width) - 1)
+        pos += width
+        if code == 256:     # CLEAR
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if code == 257:     # EOI
+            break
+        if not table:
+            raise ValueError("TIFF LZW stream missing clear code")
+        if prev is None:
+            if code > 255:
+                raise ValueError("bad TIFF LZW first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):   # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad TIFF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break
+    if len(out) < expected:
+        raise ValueError("short TIFF LZW strip")
+    return bytes(out[:expected])
+
+
+def _tiff_packbits(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF compression 32773): n<128 -> n+1 literals,
+    n>128 -> next byte repeated 257-n times, 128 -> no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("truncated TIFF PackBits literal run")
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("truncated TIFF PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("short TIFF PackBits strip")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes) -> np.ndarray:
+    """REAL stdlib+numpy baseline-TIFF decode to HxWx3 uint8.
+
+    Both byte orders, first IFD, strip organization (multi-strip via
+    RowsPerStrip), compressions 1 (none) / 5 (LZW incl. the horizontal
+    predictor) / 32773 (PackBits), photometric 0/1 (gray, WhiteIsZero
+    inverted), 2 (RGB; extra samples like alpha dropped), 3 (palette via
+    the 16-bit ColorMap), 8-bit samples, chunky planar layout. Tiled,
+    planar-separate, deep-sample, and other-compression files raise
+    ``ValueError`` for the PIL fallback / on_error policy."""
+    import struct
+
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF")
+    bo = "<" if payload[:2] == b"II" else ">"
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    try:
+        (cnt,) = struct.unpack_from(bo + "H", payload, ifd_off)
+        ents: dict[int, tuple[int, int, int]] = {}
+        for i in range(cnt):
+            tag, typ, n = struct.unpack_from(
+                bo + "HHI", payload, ifd_off + 2 + 12 * i
+            )
+            ents[tag] = (typ, n, ifd_off + 2 + 12 * i + 8)
+    except struct.error:
+        raise ValueError("truncated TIFF IFD") from None
+
+    sizes = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+
+    def vals(tag: int, default: list[int] | None = None) -> list[int]:
+        if tag not in ents:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, n, vpos = ents[tag]
+        if typ not in sizes:
+            raise ValueError(f"unsupported TIFF tag type {typ}")
+        fmt, unit = sizes[typ]
+        if unit * n > 4:
+            (vpos,) = struct.unpack_from(bo + "I", payload, vpos)
+        try:
+            return list(struct.unpack_from(bo + str(n) + fmt, payload, vpos))
+        except struct.error:
+            raise ValueError("truncated TIFF tag values") from None
+
+    if 322 in ents or 323 in ents:
+        raise ValueError("tiled TIFF unsupported")
+    w, h = vals(256)[0], vals(257)[0]
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF geometry")
+    spp = vals(277, [1])[0]
+    if any(b != 8 for b in vals(258, [1] * spp)):
+        raise ValueError("unsupported TIFF bit depth")
+    comp = vals(259, [1])[0]
+    photo = vals(262)[0]
+    offs, counts = vals(273), vals(279)
+    rps = min(vals(278, [h])[0], h)
+    if vals(284, [1])[0] != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    pred = vals(317, [1])[0]
+    if len(offs) != len(counts) or len(offs) != (h + rps - 1) // rps:
+        raise ValueError("TIFF strip bookkeeping mismatch")
+    raw = bytearray()
+    for i, (o, c) in enumerate(zip(offs, counts)):
+        rows = min(rps, h - i * rps)
+        expected = rows * w * spp
+        strip = payload[o:o + c]
+        if len(strip) < c:
+            raise ValueError("truncated TIFF strip")
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("short TIFF strip")
+            raw += strip[:expected]
+        elif comp == 5:
+            raw += _tiff_lzw(strip, expected)
+        elif comp == 32773:
+            raw += _tiff_packbits(strip, expected)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    img = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if pred == 2:
+        # horizontal differencing: per-row per-channel cumsum mod 256
+        img = np.add.accumulate(img, axis=1, dtype=np.uint8)
+    elif pred != 1:
+        raise ValueError(f"unsupported TIFF predictor {pred}")
+    if photo in (0, 1):
+        g = img[:, :, 0]
+        if photo == 0:
+            g = 255 - g
+        return np.stack([g, g, g], axis=-1)
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("TIFF RGB with fewer than 3 samples")
+        return np.ascontiguousarray(img[:, :, :3])
+    if photo == 3:
+        cmap = vals(320)
+        if len(cmap) < 3 * 256:
+            raise ValueError("short TIFF color map")
+        cm = (np.asarray(cmap, np.uint16).reshape(3, -1) >> 8).astype(np.uint8)
+        idx = img[:, :, 0]
+        return np.stack([cm[0][idx], cm[1][idx], cm[2][idx]], axis=-1)
+    raise ValueError(f"unsupported TIFF photometric {photo}")
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode to an HxWx3 uint8 array.
 
@@ -910,6 +1087,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
         except ValueError:
             if not _HAVE_PIL:
                 raise  # arithmetic/CMYK/corrupt JPEG and no fallback
+    if payload[:4] in (b"II*\x00", b"MM\x00*") and os.environ.get(
+        "SPARK_GRAFT_FAKE_MEDIA"
+    ) != "1":
+        try:
+            return _decode_tiff(payload)
+        except ValueError:
+            if not _HAVE_PIL:
+                raise  # tiled/deep/exotic TIFF and no fallback decoder
     if _HAVE_PIL and os.environ.get("SPARK_GRAFT_FAKE_MEDIA") != "1":
         img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8)

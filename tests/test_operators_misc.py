@@ -1764,11 +1764,11 @@ def test_multimodal_docstring_matches_decoders():
     start = doc.index("remaining paths (") + len("remaining paths (")
     stub_clause = doc[start : doc.index(") are", start)]
     for real in ("png", "bmp", "gif", "ppm", "progressive", "wav", "aiff",
-                 "au (", "mu-law", "flac"):
+                 "au (", "mu-law", "flac", "tiff"):
         assert real not in stub_clause, f"docstring claims {real!r} is stubbed"
     # and the real-codec list names every stdlib decoder that exists
     for fn in ("_decode_png", "_decode_bmp", "_decode_gif", "_decode_ppm",
-               "_decode_jpeg", "_decode_flac"):
+               "_decode_jpeg", "_decode_flac", "_decode_tiff"):
         assert hasattr(mm, fn)
         assert fn in mm.__doc__, f"{fn} missing from header codec list"
 
@@ -2357,6 +2357,238 @@ def test_audio_features_flac_through_operator(spark):
     assert r.sample_rate == 16000 and r.n_samples == 1600
     want_rms = float(np.sqrt(np.mean((pcm / 32768.0) ** 2)))
     np.testing.assert_allclose(r.rms, want_rms, rtol=1e-5)
+
+
+# --- TIFF decoder goldens ---------------------------------------------------
+#
+# Like FLAC: no independent TIFF codec in this container (no PIL), so
+# the fixtures are spec-constructed by the minimal encoder below. Its
+# LZW compressor is a real string-table LZW with the TIFF6 early-change
+# width rule, written against the spec independently of the decoder's
+# table-driven reader.
+
+
+def _tiff_lzw_encode(data):
+    w = _FlacW()   # MSB-first bit writer, same packing as TIFF LZW
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    dec_size = 258     # the DECODER's table size after each emission
+    first = True
+    w.u(256, width)    # CLEAR
+
+    def emitted():
+        nonlocal first, dec_size, width
+        if first:
+            first = False
+        else:
+            dec_size += 1
+            if dec_size == (1 << width) - 2 and width < 12:
+                width += 1
+
+    s = b""
+    for b in data:
+        s2 = s + bytes([b])
+        if s2 in table:
+            s = s2
+            continue
+        w.u(table[s], width)
+        emitted()
+        assert next_code < 4094, "test corpus too incompressible for one strip"
+        table[s2] = next_code
+        next_code += 1
+        s = bytes([b])
+    if s:
+        w.u(table[s], width)
+        emitted()
+    w.u(257, width)    # EOI
+    w.align()
+    return w.data()
+
+
+def _packbits_encode(data):
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 127 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            lit = i
+            while (
+                i < n and i - lit < 127
+                and not (i + 1 < n and data[i + 1] == data[i])
+            ):
+                i += 1
+            out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _encode_tiff(px, bo="<", comp=1, photo=None, rps=None, pred=1,
+                 palette=None, alpha=False):
+    """px: (h,w) gray/palette-index or (h,w,3) RGB uint8."""
+    import struct
+
+    px = np.asarray(px, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if alpha:
+        px = np.concatenate(
+            [px, np.full(px.shape[:2] + (1,), 0xEE, np.uint8)], axis=2)
+    h, w, spp = px.shape
+    if photo is None:
+        photo = 2 if spp >= 3 else 1
+    rps = rps or h
+    strips = []
+    for r0 in range(0, h, rps):
+        blk = px[r0:r0 + rps]
+        if pred == 2:
+            d = blk.astype(np.int16)
+            d[:, 1:] -= blk[:, :-1].astype(np.int16)
+            blk = (d % 256).astype(np.uint8)
+        raw = blk.tobytes()
+        if comp == 1:
+            strips.append(raw)
+        elif comp == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif comp == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            raise AssertionError(comp)
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+        (259, 3, [comp]), (262, 3, [photo]),
+        (277, 3, [spp]), (278, 3, [rps]),
+        (279, 4, [len(s) for s in strips]), (284, 3, [1]),
+    ]
+    if pred != 1:
+        entries.append((317, 3, [pred]))
+    if palette is not None:   # (256, 3) uint8 -> TIFF 16-bit channel-major
+        cm = palette.astype(np.uint16) * 257
+        entries.append((320, 3, cm.T.reshape(-1).tolist()))
+    entries.append((273, 4, [0] * len(strips)))   # fixed up below
+    entries.sort()
+    unit = {3: 2, 4: 4}
+    fmt = {3: "H", 4: "I"}
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_size
+    extra_size = sum(
+        unit[t] * len(v) for _, t, v in entries if unit[t] * len(v) > 4)
+    data_off = extra_off + extra_size
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    entries = [
+        (tag, t, offsets if tag == 273 else v) for tag, t, v in entries]
+    out = struct.pack(
+        bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+    ifd = struct.pack(bo + "H", len(entries))
+    extra = b""
+    for tag, t, v in entries:
+        sz = unit[t] * len(v)
+        if sz <= 4:
+            packed = struct.pack(bo + str(len(v)) + fmt[t], *v)
+            packed += b"\x00" * (4 - len(packed))
+            ifd += struct.pack(bo + "HHI", tag, t, len(v)) + packed
+        else:
+            ifd += struct.pack(
+                bo + "HHII", tag, t, len(v), extra_off + len(extra))
+            extra += struct.pack(bo + str(len(v)) + fmt[t], *v)
+    ifd += struct.pack(bo + "I", 0)   # no next IFD
+    return out + ifd + extra + b"".join(strips)
+
+
+def test_tiff_decode_variants():
+    from fastcdc_rs_spark.operators.multimodal import _decode_image, _decode_tiff
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(_decode_tiff(_encode_tiff(px)), px)
+    # big-endian, multi-strip
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(px, bo=">", rps=4)), px)
+    # PackBits over runs + literals
+    runs = np.repeat(rng.integers(0, 256, (9, 5, 3)), 3, axis=1).astype(np.uint8)
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(runs, comp=32773, rps=2)), runs)
+    # gray BlackIsZero and WhiteIsZero
+    g = rng.integers(0, 256, (7, 11)).astype(np.uint8)
+    want = np.stack([g, g, g], -1)
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(g, photo=1)), want)
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(255 - g, photo=0)), want)
+    # palette
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (6, 9)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(idx, photo=3, palette=pal)), pal[idx])
+    # RGBA: extra sample dropped
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(px, alpha=True)), px)
+    # dispatch through _decode_image
+    np.testing.assert_array_equal(_decode_image(_encode_tiff(px)), px)
+
+
+def test_tiff_lzw_and_predictor():
+    from fastcdc_rs_spark.operators.multimodal import _decode_tiff
+
+    rng = np.random.default_rng(19)
+    # big single strip of high-entropy data: the LZW table crosses 510
+    # and 1022, exercising the 9->10->11-bit early-change transitions
+    big = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(_decode_tiff(_encode_tiff(big, comp=5)), big)
+    # smooth gradient + horizontal predictor (the compressible case),
+    # multi-strip so each strip resets the code table
+    gx = np.linspace(0, 255, 64, dtype=np.uint8)
+    smooth = np.stack(np.broadcast_arrays(
+        gx[None, :], gx[:, None] // 2, (gx[None, :] // 3 + 7)), axis=-1
+    ).astype(np.uint8)
+    smooth = smooth + rng.integers(0, 3, smooth.shape).astype(np.uint8)
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(smooth, comp=5, pred=2, rps=16)), smooth)
+    np.testing.assert_array_equal(
+        _decode_tiff(_encode_tiff(smooth, comp=5, pred=2)), smooth)
+
+
+def test_tiff_error_paths():
+    from fastcdc_rs_spark.operators.multimodal import _decode_tiff
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    good = _encode_tiff(px)
+    with pytest.raises(ValueError):
+        _decode_tiff(b"II+\x00" + good[4:])
+    with pytest.raises(ValueError):
+        _decode_tiff(good[:16])            # IFD cut off
+    with pytest.raises(ValueError):
+        _decode_tiff(good[:-5])            # strip data cut off
+    import struct
+    bad = bytearray(good)
+    # compression tag value -> unsupported code (tag order: 256,257,258,
+    # 259 is the 4th entry; value word at entry_off + 8)
+    off = 8 + 2 + 3 * 12 + 8
+    struct.pack_into("<H", bad, off, 6)    # old-JPEG-in-TIFF
+    with pytest.raises(ValueError):
+        _decode_tiff(bytes(bad))
+
+
+def test_tiff_through_image_operator(spark):
+    from fastcdc_rs_spark.operators.multimodal import image_features
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(_encode_tiff(px, comp=5, pred=2)))],
+        "media_id long, payload binary",
+    )
+    r = image_features(media).first()
+    assert (r.height, r.width) == (12, 16)
 
 
 def test_candidate_pairs_size_fold_and_filter_prune(spark):
