@@ -145,29 +145,42 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
 
     pairs = small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b"])
 
-    # bucket stats (collision buckets only): one row per bucket via a
-    # first() aggregate on the band key — exchange-free over the cache
-    sizes = annotated.groupBy("band_id", "band_hash").agg(
-        F.first("bucket_size").alias("bucket_size")
-    )
-    # bucket-size histogram (log2 buckets) rides along as a map column —
-    # the B14 skew observable
-    hist = (
-        sizes.groupBy(
+    # bucket stats (collision buckets only) in ONE cache scan: each
+    # bucket is represented by its min member (`_bmin.id` rides every
+    # row off the window), so per-bucket aggregates become row-wise
+    # sums over min-member rows — no per-bucket groupBy shuffle. The
+    # log2 histogram (B14 skew observable) groups those ~n_buckets rows
+    # into <= 64 size classes (map-side partial agg; the exchange ships
+    # 64 rows), and the 1-row summary folds over the classes. The
+    # earlier shape (groupBy(band_id, band_hash).first + two more aggs)
+    # cost three jobs and a full-width shuffle of the bucket keys for
+    # pure observability.
+    is_min = F.col(id_col) == F.col("_bmin.id")
+    classes = (
+        annotated.where(is_min)
+        .groupBy(
             F.ceil(F.log2("bucket_size")).cast("int").alias("log2_size")
         )
-        .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("log2_size", "n")))
-            ).alias("bucket_hist")
+            F.count(F.lit(1)).alias("n"),
+            F.max("bucket_size").alias("mx"),
+            F.sum(
+                F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)
+            ).alias("cb"),
+            F.sum(
+                F.when(F.col("bucket_size") > bucket_cap, F.col("bucket_size"))
+                .otherwise(0)
+            ).alias("cd"),
         )
     )
-    metrics = sizes.agg(
-        F.count(F.lit(1)).alias("buckets"),
-        F.max("bucket_size").alias("max_bucket"),
-        F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
-        F.sum(F.when(F.col("bucket_size") > bucket_cap, F.col("bucket_size")).otherwise(0)).alias("capped_docs"),
-    ).crossJoin(hist)
+    metrics = classes.agg(
+        F.sum("n").alias("buckets"),
+        F.max("mx").alias("max_bucket"),
+        F.sum("cb").alias("capped_buckets"),
+        F.sum("cd").alias("capped_docs"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("log2_size", "n")))
+        ).alias("bucket_hist"),
+    )
     pairs._graft_caches = [annotated]  # released by release_caches()
     return pairs, metrics

@@ -71,6 +71,18 @@ class DedupConfig:
     # array side up to bids_bcast_max; unfiltered b-shuffle above
     verify_hub_pair_bcast_max: int = 64_000
     verify_hub_bids_bcast_max: int = 4_000_000
+    # ride the per-doc set size through the band shuffle so the verify
+    # size-ratio prune is a row filter instead of two narrow joins.
+    # Default OFF: measured at 800k docs/4 cores the fold costs ~25% of
+    # the whole pipeline wall (45.5 vs 34.5 s, same window, sig probe
+    # steady) — the +8B/row on the dominant band exchange, the wider
+    # annotated cache, and the struct collect/explode cost far more than
+    # the two deleted pair-row joins, and the 1-core side pays ~2x the
+    # 4-core penalty (a fake scaling-ratio "win" from slowing the
+    # denominator). Kept as a knob: on a real cluster where the verify
+    # joins' AQE barriers cost more than local exchange bytes, the fold
+    # may win — measure there before flipping.
+    size_fold: bool = False
 
     def chunker(self) -> ChunkerConfig:
         return ChunkerConfig(
@@ -129,8 +141,13 @@ def near_dup_clusters(
             F.sum(F.size("unit_hashes")).alias("units_total"),
         )
     if cfg.candidates != "minhash":
-        # simhash path consumes units again — avoid re-running the chunk UDF
+        # simhash path consumes units again — avoid re-running the chunk
+        # UDF. Filled EAGERLY like every shared cache here: the minhash
+        # and simhash band tables union under ONE candidate job, so AQE
+        # submits both consumers concurrently and a cold cache would pay
+        # the per-block recompute/lock contention tax (see `signed`).
         units = units.persist()
+        units.count()
     signed = minhash_signatures(
         units, k=cfg.shingle_k, n_perms=cfg.n_perms,
         bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
@@ -155,9 +172,11 @@ def near_dup_clusters(
         # each pair with both sizes off its one band shuffle — the verify
         # size-ratio prune then filters pair rows instead of paying two
         # shuffle joins (and their AQE barriers) on the critical path.
+        cols = [id_col]
+        if cfg.size_fold:
+            cols.append(F.size("shingles").alias("_sz"))
         bands_df = signed.select(
-            id_col, F.size("shingles").alias("_sz"),
-            F.posexplode("bands").alias("band_id", "band_hash"),
+            *cols, F.posexplode("bands").alias("band_id", "band_hash"),
         )
     elif cfg.candidates == "both":
         # the simhash band table below has no size column; the union

@@ -55,11 +55,15 @@ def run_dedup_job(spark, inp: str, out: str, cfg: DedupConfig,
             bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
         ),
     )
-    # _sz rides the band explode → verify's size-ratio prune is a filter
-    # on the checkpointed pair rows, not two joins (operators/lsh.py)
+    # cfg.size_fold: ride _sz through the band explode so verify's
+    # size-ratio prune filters the checkpointed pair rows instead of
+    # joining — OFF by default (see DedupConfig: the wider band shuffle
+    # costs more than the joins it saves at measured scales)
+    cols = [F.col(id_col)]
+    if cfg.size_fold:
+        cols.append(F.size("shingles").alias("_sz"))
     bands_df = signed.select(
-        id_col, F.size("shingles").alias("_sz"),
-        F.posexplode("bands").alias("band_id", "band_hash"),
+        *cols, F.posexplode("bands").alias("band_id", "band_hash"),
     )
     pairs_df, metrics = candidate_pairs(bands_df, bucket_cap=cfg.bucket_cap, id_col=id_col)
     pairs = run.stage("pairs", lambda: pairs_df)
