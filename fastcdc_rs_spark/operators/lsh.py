@@ -173,11 +173,14 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
             ).alias("cd"),
         )
     )
+    # coalesce to 0: with no collision buckets the classes frame is
+    # empty and bare sums would yield NULL where the pre-round-6 shape
+    # yielded 0 (round-6 ADVICE: jobs/dedup_job.py emits this dict raw)
     metrics = classes.agg(
-        F.sum("n").alias("buckets"),
-        F.max("mx").alias("max_bucket"),
-        F.sum("cb").alias("capped_buckets"),
-        F.sum("cd").alias("capped_docs"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("buckets"),
+        F.coalesce(F.max("mx"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("capped_buckets"),
+        F.coalesce(F.sum("cd"), F.lit(0)).alias("capped_docs"),
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("log2_size", "n")))
         ).alias("bucket_hist"),

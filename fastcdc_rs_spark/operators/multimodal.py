@@ -903,7 +903,11 @@ def _tiff_lzw(data: bytes, expected: int) -> bytes:
             raise ValueError("bad TIFF LZW code")
         out += entry
         prev = entry
-        if len(table) == (1 << width) - 2 and width < 12:
+        # TIFF6 "early change": widen one code EARLY — when the table
+        # reaches (1<<width)-1, not (1<<width) — matching libtiff /
+        # javax.imageio writers (round-6 ADVICE: the old -2 rule widened
+        # one code too early and broke on externally-encoded streams)
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
         if len(out) >= expected:
             break
@@ -975,9 +979,9 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         if typ not in sizes:
             raise ValueError(f"unsupported TIFF tag type {typ}")
         fmt, unit = sizes[typ]
-        if unit * n > 4:
-            (vpos,) = struct.unpack_from(bo + "I", payload, vpos)
         try:
+            if unit * n > 4:
+                (vpos,) = struct.unpack_from(bo + "I", payload, vpos)
             return list(struct.unpack_from(bo + str(n) + fmt, payload, vpos))
         except struct.error:
             raise ValueError("truncated TIFF tag values") from None
@@ -1268,6 +1272,8 @@ def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
     # SSND: u32 offset (block-aligned writers pad before the PCM) +
     # u32 blocksize, then data starts `offset` bytes in (round-5 ADVICE:
     # ignoring the offset decoded padding bytes as leading samples)
+    if len(ssnd) < 8:
+        raise ValueError("truncated AIFF SSND chunk")
     (ssnd_off,) = struct.unpack(">I", ssnd[0:4])
     if 8 + ssnd_off > len(ssnd):
         raise ValueError("bad AIFF SSND offset")

@@ -2383,7 +2383,7 @@ def _tiff_lzw_encode(data):
             first = False
         else:
             dec_size += 1
-            if dec_size == (1 << width) - 2 and width < 12:
+            if dec_size == (1 << width) - 1 and width < 12:
                 width += 1
 
     s = b""
