@@ -39,7 +39,6 @@ from fastcdc_rs_spark.operators.knn import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
 )
-from fastcdc_rs_spark.operators.simhash import simhash64
 from fastcdc_rs_spark.operators.textstats import (
     bpe_token_stats,
     doc_fingerprint,
@@ -48,8 +47,7 @@ from fastcdc_rs_spark.operators.textstats import (
     quality_scores,
     token_stats,
 )
-from fastcdc_rs_spark.pipeline import DedupConfig, near_dup_clusters, unit_hashes
-from fastcdc_rs_spark.operators.minhash import minhash_signatures
+from fastcdc_rs_spark.pipeline import DedupConfig, near_dup_clusters
 
 # Tiny-doc chunker params for the ~300-char driver documents
 # (reference convention min=avg/4, max=avg*4; avg floor is 256).
@@ -453,10 +451,18 @@ def q_chunks(spark, sf):
 
 
 def q_minhash_bands(spark, sf):
-    # kernel-backed: banded MinHash of chunk shingles (rows-only check)
-    units = unit_hashes(_docs(spark, sf), CFG)
-    signed = minhash_signatures(units, k=CFG.shingle_k, n_perms=CFG.n_perms,
-                                bands=CFG.bands, rows=CFG.rows, seed=CFG.minhash_seed)
+    # kernel-backed: banded MinHash of chunk shingles (rows-only check).
+    # Round 7: chunk → shingle → MinHash fused into ONE Arrow pass
+    # (operators/minhash.chunk_minhash_signatures — bit-exact vs the
+    # unfused composition, pinned in tests/test_signatures.py); the old
+    # shape paid two JVM↔Python round-trips per doc.
+    from fastcdc_rs_spark.operators.minhash import chunk_minhash_signatures
+
+    signed = chunk_minhash_signatures(
+        _docs(spark, sf), CFG.chunker(), k=CFG.shingle_k,
+        n_perms=CFG.n_perms, bands=CFG.bands, rows=CFG.rows,
+        seed=CFG.minhash_seed,
+    )
     # posexplode_once: avoids the inferred size()>0 filter re-running the
     # signature UDF (fastcdc_rs_spark/functions/plan_safe.py)
     from fastcdc_rs_spark.functions.plan_safe import posexplode_once
@@ -467,11 +473,11 @@ def q_minhash_bands(spark, sf):
 
 
 def q_simhash(spark, sf):
-    # kernel-backed: 64-bit SimHash over chunk-unit hashes (rows-only check)
-    units = unit_hashes(_docs(spark, sf), CFG)
-    return simhash64(units, shingles_col="unit_hashes").select(
-        "doc_id", "simhash"
-    ).orderBy("doc_id")
+    # kernel-backed: 64-bit SimHash over chunk-unit hashes (rows-only
+    # check); chunk → SimHash fused into one Arrow pass (round 7)
+    from fastcdc_rs_spark.operators.simhash import chunk_simhash64
+
+    return chunk_simhash64(_docs(spark, sf), CFG.chunker()).orderBy("doc_id")
 
 
 def q_cdc_dedup_stats(spark, sf):
@@ -507,20 +513,30 @@ _PERMS = [
 ]
 
 
-def _lsh_sql_candidates(grams):
+def _lsh_sql_candidates(arrs):
     """(a, b) distinct LSH candidate pairs from the decimal-exact linear-
-    permutation MinHash over a (doc_id, ngram_hash) gram table — the
-    SQL-expressible twin of the production splitmix64 banding (same
-    structure: signature aggregate → 2×4 bands → bucket equi-join)."""
+    permutation MinHash over a (doc_id, _gh array<long>) per-doc gram-hash
+    frame (operators.dedup.token_ngram_hash_arrays) — the SQL-expressible
+    twin of the production splitmix64 banding (same structure: signature →
+    2×4 bands → bucket equi-join). Since round 7 the 8 per-perm minima are
+    computed MAP-SIDE (``array_min`` over a per-doc transform) instead of
+    a groupBy over the exploded gram table: identical values — min of the
+    same mulmod image of the same distinct hash set — with the signature
+    stage's corpus-wide exchange deleted (guide §2.4)."""
     dec = "decimal(38,0)"
-    h = F.col("ngram_hash").cast(dec)
     mins = [
-        F.min(
-            ((F.lit(a).cast(dec) * h + F.lit(b).cast(dec)) % F.lit(_P61).cast(dec))
+        F.array_min(
+            F.transform(
+                "_gh",
+                lambda h: (
+                    (F.lit(a).cast(dec) * h.cast(dec) + F.lit(b).cast(dec))
+                    % F.lit(_P61).cast(dec)
+                ),
+            )
         ).cast("long").alias(f"m{j}")
         for j, (a, b) in enumerate(_PERMS)
     ]
-    sigs = grams.groupBy("doc_id").agg(*mins)
+    sigs = arrs.select("doc_id", *mins)
     band0 = F.md5(F.concat_ws("_", *[F.col(f"m{j}").cast("string") for j in range(4)]))
     band1 = F.md5(F.concat_ws("_", *[F.col(f"m{j}").cast("string") for j in range(4, 8)]))
     from fastcdc_rs_spark.cache import register_cache
@@ -544,8 +560,10 @@ def _lsh_sql_candidates(grams):
 
 
 def q_minhash_lsh_sql(spark, sf):
-    grams = token_ngrams(_docs(spark, sf), n=3)
-    return _lsh_sql_candidates(grams).orderBy("a", "b")
+    from fastcdc_rs_spark.operators.dedup import token_ngram_hash_arrays
+
+    arrs = token_ngram_hash_arrays(_docs(spark, sf), n=3)
+    return _lsh_sql_candidates(arrs).orderBy("a", "b")
 
 
 def q_dedup_clusters_sql(spark, sf):
@@ -559,17 +577,24 @@ def q_dedup_clusters_sql(spark, sf):
     # `dedup_clusters` check now has a green end-to-end twin.
     # Verification mirrors operators/verify.py at scale: gram-set arrays
     # ship through the join only for candidate pairs, not all pairs.
-    # The gram table is NOT persisted (2 consumers; recompute of the
+    # Round 7: the per-doc gram-hash ARRAY frame feeds everything — the
+    # signature minima are map-side array_min (no groupBy exchange), and
+    # `sets` is the array frame itself (the old collect_list groupBy —
+    # a full shuffle of the exploded gram table — reassembled per doc
+    # what the map side already had as an array). The arrays frame is
+    # NOT persisted (3 map-only evaluations; recompute of the
     # explode+hash measured cheaper than cache materialization — same
     # finding as ngram_jaccard_pairs); the banded-signature table inside
-    # _lsh_sql_candidates IS (the 8-perm decimal aggregation is the
-    # expensive subplan and feeds both self-join sides).
+    # _lsh_sql_candidates IS (it feeds both self-join sides).
+    from fastcdc_rs_spark.operators.dedup import token_ngram_hash_arrays
+
     docs = _docs(spark, sf)
-    grams = token_ngrams(docs, n=3)
-    cand = _lsh_sql_candidates(grams)
-    sets = grams.groupBy("doc_id").agg(
-        F.collect_list("ngram_hash").alias("gset"),
-        F.count(F.lit(1)).alias("set_size"),
+    arrs = token_ngram_hash_arrays(docs, n=3)
+    cand = _lsh_sql_candidates(arrs)
+    sets = arrs.select(
+        "doc_id",
+        F.col("_gh").alias("gset"),
+        F.size("_gh").alias("set_size"),
     )
     sa = sets.select(
         F.col("doc_id").alias("a"), F.col("gset").alias("gset_a"),

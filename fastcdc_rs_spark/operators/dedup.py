@@ -26,6 +26,7 @@ __all__ = [
     "exact_duplicates",
     "dedup_flags",
     "token_gram_expr",
+    "token_ngram_hash_arrays",
     "token_ngrams",
     "ngram_jaccard_pairs",
     "char_ngrams",
@@ -60,16 +61,26 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 def dedup_flags(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, canonical_id, is_duplicate): keep-first exact dedup."""
+    """(doc_id, canonical_id, is_duplicate): keep-first exact dedup.
+
+    One window over the text hash instead of aggregate + join-back: the
+    join form scanned the input twice (md5 evaluated per side) and paid
+    the aggregation exchange on top of the join's; the whole-partition
+    min window computes the same canonical_id off a single exchange of
+    (doc_id, text_hash) rows (guide §2.4 — two operations keyed the same
+    way share one exchange). No ORDER BY → no running-frame semantics,
+    one pass per hash group.
+    """
+    from pyspark.sql import Window
+
     hashed = docs.select(F.col(id_col), md5_long(text_col).alias("text_hash"))
-    canon = hashed.groupBy("text_hash").agg(F.min(id_col).alias("canonical_id"))
-    return (
-        hashed.join(canon, "text_hash")
-        .select(
-            id_col,
-            "canonical_id",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
-        )
+    return hashed.select(
+        id_col,
+        F.min(id_col).over(Window.partitionBy("text_hash")).alias("canonical_id"),
+    ).select(
+        id_col,
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
     )
 
 
@@ -92,17 +103,34 @@ def token_gram_expr(text_col: str, n: int, distinct: bool = True):
     ).otherwise(grams)
 
 
+def token_ngram_hash_arrays(docs: DataFrame, n: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, _gh array<long>) — per-doc DISTINCT md5 gram hashes as one
+    map-side array column. The per-doc ``array_distinct`` over the hashes
+    gives exactly the distinctness of the old ``explode → .distinct()``
+    plan (distinct (doc_id, ngram_hash) rows) WITHOUT its corpus-wide
+    exchange: consumers that evaluate the gram subplan more than once
+    (self-join sides, size lookups) save one full shuffle of the exploded
+    gram table per evaluation (guide §2.4), and per-doc set sizes become
+    ``F.size(_gh)`` — free at map time instead of a groupBy over the
+    exploded rows."""
+    grams = token_gram_expr(text_col, n, distinct=True)
+    hashes = F.array_distinct(F.transform(grams, lambda g: md5_long(g)))
+    return _spread(docs).select(F.col(id_col), hashes.alias("_gh"))
+
+
 def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(doc_id, ngram_hash) — distinct md5-hashed token n-grams, exploded.
 
     Docs with fewer than n tokens contribute their whole token sequence as
-    one n-gram.
+    one n-gram. Distinctness is enforced per doc map-side
+    (``token_ngram_hash_arrays``) — no corpus-wide distinct exchange.
     """
-    grams = token_gram_expr(text_col, n, distinct=True)
-    return explode_once(_spread(docs), grams, "ngram", keep=[id_col]).select(
-        id_col, md5_long("ngram").alias("ngram_hash")
-    ).distinct()
+    return explode_once(
+        token_ngram_hash_arrays(docs, n, text_col, id_col),
+        "_gh", "ngram_hash", keep=[id_col],
+    ).select(id_col, "ngram_hash")
 
 
 def char_ngrams(docs: DataFrame, n: int = 40, text_col: str = "text",
@@ -121,19 +149,22 @@ def char_ngrams(docs: DataFrame, n: int = 40, text_col: str = "text",
     characters.
     """
     text = F.col(text_col)
+    # per-doc distinct enforced map-side over the HASHES (array_distinct)
+    # — exactly the distinctness of the old explode → .distinct() plan
+    # without its corpus-wide exchange (see token_ngram_hash_arrays)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(text) - F.lit(n - 1)),
             lambda i: text.substr(i, F.lit(n)),
         )
     )
-    return (
-        explode_once(
-            _spread(docs.where(F.length(text) >= n)), grams, "gram", keep=[id_col]
-        )
-        .select(id_col, md5_long("gram").alias("gram_hash"))
-        .distinct()
-    )
+    # string-level distinct first (md5 runs once per distinct gram), then
+    # hash-level distinct for exact parity with the old (id, hash) distinct
+    hashes = F.array_distinct(F.transform(grams, lambda g: md5_long(g)))
+    return explode_once(
+        _spread(docs.where(F.length(text) >= n)), hashes, "gram_hash",
+        keep=[id_col],
+    ).select(id_col, "gram_hash")
 
 
 def substring_pairs(docs: DataFrame, min_len: int = 40, df_cap: int | None = None,
@@ -211,11 +242,55 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
     from ..cache import register_cache
 
     caches = []
-    grams = token_ngrams(docs, n, text_col, id_col)
-    if cache_grams:
-        grams = register_cache(grams.persist())
-        caches.append(grams)
-    if df_cap is not None:
+    arrs = token_ngram_hash_arrays(docs, n, text_col, id_col)
+    if df_cap is None:
+        # UNCAPPED: the per-doc set size is size(_gh) at map time, and it
+        # RIDES THE EXPLODE into the self-join (8 extra bytes per gram
+        # row on each side) so the two post-aggregation size joins — and
+        # with them the third evaluation of the gram subplan — disappear
+        # outright (guide §2.3 "shuffle keys and metadata", §2.4): the
+        # gram subplan now runs exactly twice (once per join side),
+        # map-only, where the old shape ran it three times each with a
+        # corpus-wide distinct exchange.
+        sized = arrs.select(
+            F.col(id_col), "_gh", F.size("_gh").alias("set_size")
+        )
+        grams = explode_once(
+            sized, "_gh", "ngram_hash", keep=[id_col, "set_size"]
+        )
+        if cache_grams:
+            grams = register_cache(grams.persist())
+            caches.append(grams)
+        ga = grams.select(
+            F.col(id_col).alias("a"), F.col("set_size").alias("size_a"),
+            "ngram_hash",
+        )
+        gb = grams.select(
+            F.col(id_col).alias("b"), F.col("set_size").alias("size_b"),
+            "ngram_hash",
+        )
+        # NOTE: deliberately a streaming self-join, NOT the collect_list
+        # + pair-expansion form used by substring_pairs. Token 3-grams
+        # are HOT (stopword grams hit hundreds of docs): materializing
+        # each bucket as an array and expanding pairs array-side measured
+        # 2-3x SLOWER than the join, which streams the same quadratic row
+        # count through Tungsten with partial aggregation.
+        inter = (
+            ga.join(gb, "ngram_hash")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        # CAPPED: the kept-gram universe (df <= cap) is only known after
+        # a corpus-wide df aggregation, so set sizes cannot ride the
+        # explode. Sizes come from a groupBy over the kept grams; the
+        # gram subplan itself is map-only per evaluation (the old
+        # .distinct() exchange per evaluation is gone).
+        grams = explode_once(arrs, "_gh", "ngram_hash", keep=[id_col])
+        if cache_grams:
+            grams = register_cache(grams.persist())
+            caches.append(grams)
         # df filter: one extra aggregation on the same key the self-join
         # shuffles on, so the exchange is aligned (no additional shuffle
         # of the grams side beyond the aggregate itself).
@@ -229,27 +304,24 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5,
         if cache_grams:
             grams = register_cache(grams.persist())
             caches.append(grams)
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    # NOTE: deliberately a streaming self-join, NOT the collect_list +
-    # pair-expansion form used by substring_pairs. Token 3-grams are HOT
-    # (stopword grams hit hundreds of docs): materializing each bucket as
-    # an array and expanding pairs array-side measured 2-3x SLOWER than
-    # the join, which streams the same quadratic row count through
-    # Tungsten with partial aggregation. substring_pairs' char-40-gram
-    # buckets are rare/small, where the single-pass form wins instead.
-    ga = grams.select(F.col(id_col).alias("a"), "ngram_hash")
-    gb = grams.select(F.col(id_col).alias("b"), "ngram_hash")
-    inter = (
-        ga.join(gb, "ngram_hash")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("set_size").alias("size_b"))
+        sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        ga = grams.select(F.col(id_col).alias("a"), "ngram_hash")
+        gb = grams.select(F.col(id_col).alias("b"), "ngram_hash")
+        sa = sizes.select(
+            F.col(id_col).alias("a"), F.col("set_size").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col(id_col).alias("b"), F.col("set_size").alias("size_b")
+        )
+        inter = (
+            ga.join(gb, "ngram_hash")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .join(sa, "a").join(sb, "b")
+        )
     out = (
-        inter.join(sa, "a").join(sb, "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common").cast("double")

@@ -115,19 +115,23 @@ def rhp_band_keys(
     sign test so an independent engine computing the same dots (DuckDB
     oracle, ~1e-15 relative difference) buckets identically.
 
-    The whole computation is ONE SQL expression (planes embedded as a
-    literal array-of-arrays, loops as higher-order functions) — a single
-    ``F.expr`` call, so driver-side plan construction stays O(string
-    length) no matter how many planes; a py4j ``F.lit``-per-element build
-    at 80 planes x 64 dims costs seconds before any data moves. Per row:
-    bands*rows_per_band dot products, JVM-side, then one explode of the
-    per-band key array.
+    The plane matrix rides as DATA — a one-row broadcast frame cross-
+    joined onto the vectors — instead of a literal array-of-arrays inside
+    the expression: a 80x64 literal tree (5k+ Literal nodes; round 6
+    shipped it as one parsed SQL string) cost ~0.6 s to parse plus over a
+    second of per-job optimize/codegen at EVERY invocation, all
+    driver-side and scale-independent (measured this round: the whole
+    sf0.1 banded query computes 16k key rows — the plan overhead dwarfed
+    the data). As a 1-row broadcast the plan is O(1) in planes; per row
+    the same bands*rows_per_band JVM dot products read the broadcast
+    ArrayData, then one explode of the per-band key array.
     """
     assert planes.shape[0] == bands * rows_per_band
-    planes_sql = "array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
-        for p in planes
-    ) + ")"
+    spark = vectors.sparkSession
+    planes_df = spark.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)],
+        "_planes array<array<double>>",
+    )
     keys_sql = f"""
       transform(sequence(0, {bands - 1}), b ->
         named_struct('band_id', b, 'band_key',
@@ -136,7 +140,7 @@ def rhp_band_keys(
               round(
                 aggregate(
                   zip_with({vec_col},
-                           element_at({planes_sql}, b * {rows_per_band} + r + 1),
+                           element_at(_planes, b * {rows_per_band} + r + 1),
                            (x, y) -> CAST(x AS DOUBLE) * y),
                   CAST(0.0 AS DOUBLE), (s, v) -> s + v),
                 {proj_round}) >= 0,
@@ -145,7 +149,8 @@ def rhp_band_keys(
     from ..functions.plan_safe import explode_once
 
     return explode_once(
-        vectors, F.expr(keys_sql), "bk", keep=[id_col]
+        vectors.crossJoin(F.broadcast(planes_df)), F.expr(keys_sql), "bk",
+        keep=[id_col],
     ).select(id_col, F.col("bk.band_id"), F.col("bk.band_key"))
 
 
@@ -183,57 +188,39 @@ def cosine_near_duplicates_banded(
     keys = rhp_band_keys(
         vectors, planes, bands, rows_per_band, id_col, vec_col, proj_round
     )
-    # materialize before the self-join: otherwise BOTH join sides carry the
-    # full bands*rows*dim literal projection tree and Catalyst/codegen time
-    # on the doubled expression dwarfs the actual compute (and at scale the
-    # projections would be evaluated twice per vector)
     from ..cache import register_cache
 
-    keys = register_cache(keys.persist())
-    # eager fill: the sizes aggregate and the join below read this cache
-    # from concurrent AQE stages; on a cold cache they contend for the
-    # same uncomputed blocks (recompute or lock-wait — both burn a task
-    # slot, and only when cores > 1: a pure scaling leak, see
-    # pipeline.py/lsh.py for the measured text-path twin)
-    keys.count()
     if bucket_cap is not None:
-        sizes = keys.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("_bucket_size"),
-            F.min(id_col).alias("_bucket_min"),
+        # Round 7: the capped path reuses the text pipeline's
+        # candidate_pairs (operators/lsh.py) — identical pair semantics
+        # (all pairs for buckets <= cap, star-on-min above, distinct
+        # across bands) with ONE window shuffle of the key table where
+        # this module previously paid a groupBy + join + two eager cache
+        # fills (the measured 2x window-over-join finding from lsh.py
+        # applies unchanged). The key table has a single consumer now
+        # (the window), so it needs no persist of its own; the literal
+        # planes projection is evaluated once below the window exchange
+        # and the pair branches read candidate_pairs' persisted
+        # collision rows.
+        from .lsh import candidate_pairs
+
+        bands_df = keys.withColumnRenamed("band_key", "band_hash")
+        cand, _metrics = candidate_pairs(
+            bands_df, bucket_cap=bucket_cap, id_col=id_col
         )
-        # persist: consumed by both self-join sides AND the star branch —
-        # unpersisted, the bucket-size aggregation shuffle would run 3x
-        annotated = register_cache(
-            keys.join(sizes, ["band_id", "band_key"]).persist()
-        )
-        # same eager fill: the self-join's two aliases and the star
-        # branch fan out concurrently over this cache
-        annotated.count()
-        small = annotated.where(F.col("_bucket_size") <= bucket_cap)
-        cand_small = (
-            small.alias("l")
-            .join(
-                small.alias("r"),
-                on=[
-                    F.col("l.band_id") == F.col("r.band_id"),
-                    F.col("l.band_key") == F.col("r.band_key"),
-                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-                ],
-            )
-            .select(
-                F.col(f"l.{id_col}").alias("a"),
-                F.col(f"r.{id_col}").alias("b"),
-            )
-        )
-        cand_star = (
-            annotated.where(F.col("_bucket_size") > bucket_cap)
-            .select(
-                F.col("_bucket_min").alias("a"), F.col(id_col).alias("b")
-            )
-            .where(F.col("a") < F.col("b"))
-        )
-        cand = cand_small.unionByName(cand_star).distinct()
+        for c in getattr(cand, "_graft_caches", []):
+            register_cache(c)  # bench/jobs drain via release_all
+        cand = cand.select("a", "b")
     else:
+        # materialize before the self-join: otherwise BOTH join sides
+        # carry the full bands*rows*dim literal projection tree and
+        # Catalyst/codegen time on the doubled expression dwarfs the
+        # actual compute (and at scale the projections would be
+        # evaluated twice per vector); eager fill: the join's two
+        # aliases read this cache from concurrent AQE stages (see
+        # pipeline.py/lsh.py for the measured cold-cache contention)
+        keys = register_cache(keys.persist())
+        keys.count()
         cand = (
             keys.alias("l")
             .join(
@@ -314,9 +301,13 @@ def _centroid_dots(vec_col: str, centroids: np.ndarray) -> Column:
     Built as ONE SQL expression (centroids as a literal array-of-arrays,
     the per-centroid dot as a transform/aggregate HOF) so driver-side
     plan construction stays O(string length) — an F.lit-per-element build
-    costs ~1 s per 1k literals via py4j and the IVF query needs this
-    twice (list assignment + probe selection); at cluster scale n_lists
-    is 2^14+, where the literal-tree build would dominate."""
+    costs ~1 s per 1k literals via py4j. Round 7 A/B'd this against the
+    one-row-broadcast data-column shape used by rhp_band_keys: at the
+    IVF's 16x64 tree the literal PARSES cheaply and executes ~25% faster
+    per row (constants fold into codegen where the broadcast pays
+    ArrayData reads + a BroadcastNestedLoopJoin per use), so the literal
+    stays; the broadcast wins only for plane matrices big enough that
+    parse/optimize dominates (rhp's 80x64)."""
     cents_sql = "array(" + ",".join(
         "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
         for c in centroids

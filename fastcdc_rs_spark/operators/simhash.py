@@ -16,7 +16,7 @@ from pyspark.sql.types import LongType
 
 from ..kernel.signatures import simhash_batch
 
-__all__ = ["simhash64", "simhash_bands", "hamming_distance_expr"]
+__all__ = ["simhash64", "chunk_simhash64", "simhash_bands", "hamming_distance_expr"]
 
 
 def simhash64(shingled: DataFrame, seed: int = 1,
@@ -30,6 +30,28 @@ def simhash64(shingled: DataFrame, seed: int = 1,
         return pd.Series(simhash_batch(lists, seed=seed).view(np.int64))
 
     return shingled.withColumn(out_col, _simhash(F.col(shingles_col)))
+
+
+def chunk_simhash64(docs: DataFrame, chunker_cfg, seed: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    out_col: str = "simhash") -> DataFrame:
+    """(doc_id, simhash): FastCDC chunk hashes → 64-bit SimHash in ONE
+    Arrow pass — the fused twin of ``unit_hashes`` + ``simhash64`` (same
+    kernels, bit-exact; see operators/minhash.chunk_minhash_signatures
+    for the boundary-cost rationale, guide §4.1)."""
+    from ..kernel.batch import chunk_batch_columnar
+    from .chunk import _to_bufs
+
+    @F.pandas_udf(LongType())
+    def _chunk_simhash(texts: pd.Series) -> pd.Series:
+        bufs = _to_bufs(texts)
+        if not bufs:
+            return pd.Series([], dtype="int64")
+        counts, hashes, _, _ = chunk_batch_columnar(bufs, chunker_cfg)
+        lists = np.split(hashes, np.cumsum(counts)[:-1])
+        return pd.Series(simhash_batch(lists, seed=seed).view(np.int64))
+
+    return docs.select(F.col(id_col), _chunk_simhash(F.col(text_col)).alias(out_col))
 
 
 def simhash_bands(df: DataFrame, n_bands: int = 4,

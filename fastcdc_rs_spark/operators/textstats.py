@@ -54,12 +54,29 @@ def _n_tokens(text_col: str):
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# Java-regex \s character class, spelled out for `translate`-based
+# counting: counting occurrences of a fixed char CLASS does not need the
+# regex engine — length(x) - length(translate(x, chars, '')) is the same
+# count at a fraction of the per-row cost (regexp_replace re-scans with
+# NFA state per char; translate is a char-map lookup). Guide §1.2 step 2.
+_WS_CHARS = " \t\n\x0b\f\r"
+_PUNCT_CHARS = ".,;:!?'\""
+_DIGIT_CHARS = "0123456789"
+_UPPER_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _count_chars(t, chars: str):
+    """Number of occurrences in ``t`` of any char in ``chars`` (exact
+    replacement for length(regexp_replace(t, '[^chars]', '')))."""
+    return F.length(t) - F.length(F.translate(t, chars, ""))
+
+
 def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len)."""
     n_tok = _n_tokens(text_col)
     n_chars = F.length(F.col(text_col))
-    n_spaces = n_chars - F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    n_spaces = _count_chars(F.col(text_col), _WS_CHARS)
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -98,9 +115,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
-    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"]", "")).cast("double") / safe
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double") / safe
-    upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / safe
+    # char-class counts via translate (see _count_chars): three regex
+    # passes per row replaced by three char-map scans, same counts
+    punct = _count_chars(t, _PUNCT_CHARS).cast("double") / safe
+    digits = _count_chars(t, _DIGIT_CHARS).cast("double") / safe
+    upper = _count_chars(t, _UPPER_CHARS).cast("double") / safe
     n_tok = _n_tokens(text_col).cast("double")
     stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
     n_stop = F.when(
@@ -218,7 +237,13 @@ def vocabulary_topk(docs: DataFrame, k: int = 20,
         F.countDistinct(id_col).alias("df"),
         F.count(F.lit(1)).alias("total"),
     )
-    w = Window.orderBy(F.desc("df"), F.desc("total"), F.asc("token"))
-    return agg.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    # top-k FIRST via orderBy+limit (planned as TakeOrderedAndProject —
+    # every partition contributes its local top k, only k rows reach the
+    # driver), THEN the row_number window over just those k rows. The
+    # old global no-partition window pulled the ENTIRE vocabulary into
+    # one task to sort (guide §2.5) — identical output, since the window
+    # ranked by exactly this sort order and kept rank <= k.
+    order = [F.desc("df"), F.desc("total"), F.asc("token")]
+    topk = agg.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w))

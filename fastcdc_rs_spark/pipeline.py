@@ -131,27 +131,52 @@ def near_dup_clusters(
     """
     from pyspark.sql import Observation
 
-    units = unit_hashes(docs, cfg, id_col, text_col)
     obs_units = obs_pairs = obs_verified = None
-    if collect_metrics:
-        obs_units = Observation("units")
-        units = units.observe(
-            obs_units,
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(F.size("unit_hashes")).alias("units_total"),
+    fused = cfg.shingle_mode == "chunk" and cfg.candidates == "minhash"
+    if fused:
+        # chunk → shingle → MinHash in ONE Arrow pass (round 7): the
+        # unfused shape shipped every doc's chunk-hash array out of the
+        # chunk UDF and straight back into the signature UDF — two
+        # JVM↔Python round-trips with nothing JVM-side between them
+        # (guide §4.1). Bit-exact same kernels, same values; the units
+        # observation rides the fused frame's n_units column.
+        from .operators.minhash import chunk_minhash_signatures
+
+        signed = chunk_minhash_signatures(
+            docs, cfg.chunker(), k=cfg.shingle_k, n_perms=cfg.n_perms,
+            bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed,
+            text_col=text_col, id_col=id_col,
         )
-    if cfg.candidates != "minhash":
-        # simhash path consumes units again — avoid re-running the chunk
-        # UDF. Filled EAGERLY like every shared cache here: the minhash
-        # and simhash band tables union under ONE candidate job, so AQE
-        # submits both consumers concurrently and a cold cache would pay
-        # the per-block recompute/lock contention tax (see `signed`).
-        units = units.persist()
-        units.count()
-    signed = minhash_signatures(
-        units, k=cfg.shingle_k, n_perms=cfg.n_perms,
-        bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
-    )
+        if collect_metrics:
+            obs_units = Observation("units")
+            signed = signed.observe(
+                obs_units,
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_units").alias("units_total"),
+            )
+        signed = signed.drop("n_units")
+    else:
+        units = unit_hashes(docs, cfg, id_col, text_col)
+        if collect_metrics:
+            obs_units = Observation("units")
+            units = units.observe(
+                obs_units,
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.size("unit_hashes")).alias("units_total"),
+            )
+        if cfg.candidates != "minhash":
+            # simhash path consumes units again — avoid re-running the
+            # chunk UDF. Filled EAGERLY like every shared cache here: the
+            # minhash and simhash band tables union under ONE candidate
+            # job, so AQE submits both consumers concurrently and a cold
+            # cache would pay the per-block recompute/lock contention tax
+            # (see `signed`).
+            units = units.persist()
+            units.count()
+        signed = minhash_signatures(
+            units, k=cfg.shingle_k, n_perms=cfg.n_perms,
+            bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed, id_col=id_col,
+        )
     # shingle sets feed both banding and verification → materialize once,
     # EAGERLY: downstream, AQE submits the band-table shuffle and the two
     # size-prefilter broadcast futures concurrently, and on a cold cache
@@ -260,7 +285,10 @@ def near_dup_clusters(
         metrics._graft_summary = summary
     # connected_components materializes its rounds (localCheckpoint), so
     # the upstream caches are consumed by now — release them.
-    release_caches(pairs, signed, units)
+    if fused:
+        release_caches(pairs, signed)
+    else:
+        release_caches(pairs, signed, units)
     for c in verify_caches:
         c.unpersist()
     return clusters, verified, metrics

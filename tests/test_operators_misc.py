@@ -787,8 +787,11 @@ def test_cc_long_path_graph_stale_jump_map(spark):
 def test_ngram_jaccard_plan_uncached_no_row_python(spark):
     # round-3 regression pin: the default (uncached) gram path must not
     # plan an InMemoryTableScan (the r2 persist that regressed the bench)
-    # and must stay JVM-side; the documented cost is exactly 4 FileScans
-    # of the documents table (both join sides + both size lookups).
+    # and must stay JVM-side; since round 7 the set sizes ride the gram
+    # explode (map-side distinct arrays), so the documented cost is
+    # exactly 2 FileScans of the documents table (the two join sides --
+    # the two size-lookup scans and the corpus-wide distinct exchanges
+    # are gone).
     from fastcdc_rs_spark.operators.dedup import ngram_jaccard_pairs
     from fastcdc_rs_spark.plans import executed_plan
 
@@ -796,7 +799,7 @@ def test_ngram_jaccard_plan_uncached_no_row_python(spark):
     plan = executed_plan(ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5))
     assert "InMemoryTableScan" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    assert plan.count("FileScan parquet") == 4, plan
+    assert plan.count("FileScan parquet") == 2, plan
     # opt-in caching restores the single-scan plan
     cached = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, cache_grams=True)
     plan_c = executed_plan(cached)

@@ -113,3 +113,58 @@ def test_simhash_properties():
     assert ham <= 8
     # empty doc → 0
     assert simhash_batch([np.array([], dtype=np.uint64)])[0] == 0
+
+
+def test_chunk_minhash_fusion_bit_exact(spark):
+    # Round-7 fusion pin: the one-Arrow-pass chunk→shingle→MinHash UDF
+    # (operators/minhash.chunk_minhash_signatures) must emit bit-identical
+    # shingle sets and band keys to the unfused unit_hashes →
+    # minhash_signatures composition the pipeline used before, plus the
+    # correct per-doc unit count. Empty and sub-min-size docs included.
+    from fastcdc_rs_spark.operators.minhash import (
+        chunk_minhash_signatures,
+        minhash_signatures,
+    )
+    from fastcdc_rs_spark.pipeline import DedupConfig, unit_hashes
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(11)
+    rows = [(0, "")]
+    for i in range(1, 40):
+        n = int(rng.integers(1, 4000))
+        rows.append((i, "".join(chr(int(c)) for c in rng.integers(32, 127, n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = chunk_minhash_signatures(
+        docs, cfg.chunker(), k=cfg.shingle_k, n_perms=cfg.n_perms,
+        bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed,
+    ).orderBy("doc_id").collect()
+    unfused = minhash_signatures(
+        unit_hashes(docs, cfg), k=cfg.shingle_k, n_perms=cfg.n_perms,
+        bands=cfg.bands, rows=cfg.rows, seed=cfg.minhash_seed,
+    ).orderBy("doc_id").collect()
+    assert len(fused) == len(unfused) == 40
+    for f, u in zip(fused, unfused):
+        assert f.doc_id == u.doc_id
+        assert list(f.shingles) == list(u.shingles)
+        assert list(f.bands) == list(u.bands)
+        assert f.n_units == len(f.shingles) or cfg.shingle_k != 1
+
+
+def test_chunk_simhash_fusion_bit_exact(spark):
+    # Same fusion pin for the SimHash twin (operators/simhash.chunk_simhash64).
+    from fastcdc_rs_spark.operators.simhash import chunk_simhash64, simhash64
+    from fastcdc_rs_spark.pipeline import DedupConfig, unit_hashes
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(13)
+    rows = [(0, "")] + [
+        (i, "".join(chr(int(c)) for c in rng.integers(32, 127, int(rng.integers(1, 3000)))))
+        for i in range(1, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {r.doc_id: r.simhash for r in chunk_simhash64(docs, cfg.chunker()).collect()}
+    unfused = {
+        r.doc_id: r.simhash
+        for r in simhash64(unit_hashes(docs, cfg), shingles_col="unit_hashes").collect()
+    }
+    assert fused == unfused and len(fused) == 30
