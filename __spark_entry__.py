@@ -624,30 +624,24 @@ def q_dedup_clusters_sql(spark, sf):
 
 
 def _simhash_sql_df(spark, sf):
-    # SQL-expressible SimHash: bit-majority over md5-hashed token 3-grams,
-    # bit tests via a broadcast (bit, mask) table so both engines use exact
-    # integer bitwise ops (no float pow). The production kernel (q_simhash)
-    # uses splitmix64 over chunk hashes — same structure.
-    docs = _docs(spark, sf)
-    grams = token_ngrams(docs, n=3).withColumnRenamed("ngram_hash", "h")
-    bits = spark.createDataFrame(
-        [(b, 1 << b) for b in range(60)], "bit int, mask long"
+    # SQL-expressible SimHash: bit-majority over md5-hashed token 3-grams
+    # with exact integer bitwise ops (no float pow). The production kernel
+    # (q_simhash) uses splitmix64 over chunk hashes — same structure.
+    # Round 7: computed MAP-SIDE per doc from the distinct gram-hash array
+    # (ones(b) = |{h : h & 2^b != 0}|, total = |set| — exactly the counts
+    # the old grams×60-bit crossJoin aggregated after a 60x row blow-up
+    # and two corpus-wide exchanges; guide §2.4). Identical values.
+    from fastcdc_rs_spark.operators.dedup import token_ngram_hash_arrays
+
+    arrs = token_ngram_hash_arrays(_docs(spark, sf), n=3)
+    majority = F.expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+             acc + IF(2 * size(filter(_gh,
+                         h -> (h & shiftleft(CAST(1 AS BIGINT), b)) != 0))
+                      > size(_gh),
+                      shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""
     )
-    per_bit = (
-        grams.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit", "mask")
-        .agg(
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(0)
-            ).alias("ones"),
-            F.count(F.lit(1)).alias("total"),
-        )
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(2 * F.col("ones") > F.col("total"), F.col("mask")).otherwise(F.lit(0))
-        ).alias("simhash_sql")
-    )
+    return arrs.select("doc_id", majority.alias("simhash_sql"))
 
 
 def q_simhash_sql(spark, sf):

@@ -88,24 +88,32 @@ def repetition_scores(docs: DataFrame, n: int = 3, text_col: str = "text",
     """
     from .dedup import token_gram_expr
 
+    # Round 7: everything is a per-doc property of the OCCURRENCE multiset,
+    # so it computes MAP-SIDE from the per-doc occurrence-hash array —
+    # the old explode → groupBy(doc, gram) → groupBy(doc) shape shuffled
+    # the full occurrence table twice for counts each doc already had
+    # locally (guide §2.4). The top-gram multiplicity is an O(d·n)
+    # array scan per doc (filter per distinct gram), bounded by the
+    # document's own gram count. Values identical: same md5 hash space,
+    # same counts.
     grams = token_gram_expr(text_col, n, distinct=False)
-    occ = explode_once(docs, grams, "ngram", keep=[id_col]).select(
-        id_col, md5_long("ngram").alias("g")
+    occ = F.transform(grams, lambda g: md5_long(g))
+    sized = docs.select(
+        F.col(id_col),
+        occ.alias("_occ"),
+        F.array_distinct(occ).alias("_dis"),
     )
-    per_gram = occ.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        per_gram.groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.max("c").alias("_top"),
-            F.count(F.lit(1)).alias("_distinct"),
+    n_grams = F.size("_occ").cast("long")
+    top = F.array_max(
+        F.transform(
+            "_dis",
+            lambda g: F.size(F.filter("_occ", lambda x: x == g)),
         )
-        .select(
-            id_col,
-            "n_grams",
-            F.round(F.col("_top") / F.col("n_grams"), 6).alias("top_gram_frac"),
-            F.round(
-                (F.col("n_grams") - F.col("_distinct")) / F.col("n_grams"), 6
-            ).alias("dup_gram_frac"),
-        )
+    ).cast("long")
+    n_distinct = F.size("_dis").cast("long")
+    return sized.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        F.round(top / n_grams, 6).alias("top_gram_frac"),
+        F.round((n_grams - n_distinct) / n_grams, 6).alias("dup_gram_frac"),
     )

@@ -50,8 +50,14 @@ EN_STOPWORD_DENSITY = 0.02
 
 
 def _n_tokens(text_col: str):
+    # tokens = whitespace-run count + 1 on trimmed text (trim means no
+    # leading/trailing run, so split() would yield no empty fields and
+    # size(split(t, '\\s+')) == regexp_count + 1 exactly) — counts the
+    # separators without materializing the token array per row
     t = F.trim(F.col(text_col))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.regexp_count(t, F.lit(r"\s+")) + F.lit(1)
+    )
 
 
 # Java-regex \s character class, spelled out for `translate`-based
@@ -93,19 +99,16 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_bpe_tokens, n_word_tokens, n_number_tokens): token counts
     under the BPE-ish pre-tokenizer split (the count an LLM training
-    pipeline budgets by), all JVM-side regexp_extract_all."""
+    pipeline budgets by), all JVM-side. ``regexp_count`` (same engine,
+    same non-overlapping match semantics as ``regexp_extract_all``)
+    counts matches without materializing a per-row array of every
+    matched substring."""
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).alias(
-            "n_bpe_tokens"
-        ),
-        F.size(F.regexp_extract_all(t, F.lit(r" ?[A-Za-z]+"), F.lit(0))).alias(
-            "n_word_tokens"
-        ),
-        F.size(F.regexp_extract_all(t, F.lit(r" ?[0-9]+"), F.lit(0))).alias(
-            "n_number_tokens"
-        ),
+        F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN)).alias("n_bpe_tokens"),
+        F.regexp_count(t, F.lit(r" ?[A-Za-z]+")).alias("n_word_tokens"),
+        F.regexp_count(t, F.lit(r" ?[0-9]+")).alias("n_number_tokens"),
     )
 
 
@@ -124,7 +127,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
     stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
     n_stop = F.when(
         n_chars > 0,
-        F.size(F.regexp_extract_all(t, F.lit(stop_pattern), F.lit(0))).cast("double"),
+        F.regexp_count(t, F.lit(stop_pattern)).cast("double"),
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -174,7 +177,7 @@ def langid_heuristic(docs: DataFrame, text_col: str = "text",
     table; the Spark plumbing is identical)."""
     n_tok = _n_tokens(text_col).cast("double")
     stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
-    n_stop = F.size(F.regexp_extract_all(F.col(text_col), F.lit(stop_pattern), F.lit(0))).cast("double")
+    n_stop = F.regexp_count(F.col(text_col), F.lit(stop_pattern)).cast("double")
     ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
