@@ -143,6 +143,12 @@ def candidate_pairs(bands_df: DataFrame, bucket_cap: int = 64,
         .where(F.col("a") < F.col("b"))
     )
 
+    # (Round-7 A/B, rejected: deduping inside a-partitions via
+    # repartition("a") + row_number so the verify degree window could
+    # reuse the partitioning saved an exchange on paper but measured
+    # flat at 50k docs — and dropDuplicates' map-side partial
+    # aggregation shrinks the pre-shuffle pair stream where the
+    # repartition form ships every duplicate. Keep the aggregate form.)
     pairs = small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b"])
 
     # bucket stats (collision buckets only) in ONE cache scan: each
