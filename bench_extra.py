@@ -36,6 +36,13 @@ BENCH_QUERIES = [
     "embedding_topk_ivf", "dedup_clusters", "dedup_clusters_sql",
 ]
 
+# entry queries NOT on bench.py's timed list but restructured this round
+# (report items 8/11/12) — plan evidence only, timed on request
+EXTRA_PLAN_QUERIES = [
+    "vocabulary_topk", "repetition_scores", "simhash_sql",
+    "simhash_hamming_pairs",
+]
+
 
 def _noop(df):
     df.write.format("noop").mode("overwrite").save()
@@ -60,12 +67,18 @@ def _banded(spark, sf_dir):
     )
 
 
-def all_dfs(spark):
+def all_dfs(spark, extra: bool = False):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    out = {name: (lambda name=name: qs[name](spark, SF_DIR)) for name in BENCH_QUERIES}
+    names = BENCH_QUERIES + (EXTRA_PLAN_QUERIES if extra else [])
+    out = {name: (lambda name=name: qs[name](spark, SF_DIR)) for name in names}
     out["embedding_near_dups_banded"] = lambda: _banded(spark, SF_DIR)
+    # optional comma-list filter, e.g. to regenerate one query's plan
+    only = os.environ.get("SPARK_GRAFT_PLAN_QUERIES")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        out = {k: v for k, v in out.items() if k in keep}
     return out
 
 
@@ -77,7 +90,7 @@ def cmd_plans(suffix: str) -> None:
     import contextlib
     import io
 
-    for name, thunk in all_dfs(spark).items():
+    for name, thunk in all_dfs(spark, extra=True).items():
         df = thunk()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
