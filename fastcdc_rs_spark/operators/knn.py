@@ -53,6 +53,23 @@ def cosine_expr(a: Column, b: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _cosine_ridden(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_expr`` with the two norms precomputed per VECTOR and
+    ridden through the pair join as 8-byte columns.
+
+    Bit-identical to ``cosine_expr`` by construction: ``na``/``nb`` must
+    be ``_norm(<vector col>)`` evaluated on the same arrays — the same
+    sqrt(aggregate(zip_with)) expression tree on the same input produces
+    the same double, and the comparison/division/rounding around it are
+    unchanged. The win is pass count: one interpreted higher-order pass
+    (the dot) per PAIR instead of three — the two norm passes are
+    per-vector work a pair join was needlessly repeating per pair
+    (round 7; the pair-scoring analog of the jaccard size-ride)."""
+    return F.when(
+        (na > 0) & (nb > 0), _dot(a, b) / (na * nb)
+    ).otherwise(F.lit(0.0))
+
+
 def cosine_topk_bruteforce(
     vectors: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -64,15 +81,22 @@ def cosine_topk_bruteforce(
     vec_id so results are deterministic.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     crossed = vectors.select(
-        F.col(id_col), F.col(vec_col).alias("_vvec")
+        F.col(id_col), F.col(vec_col).alias("_vvec"),
+        _norm(F.col(vec_col)).alias("_vn"),
     ).crossJoin(F.broadcast(q))
     scored = crossed.select(
         query_id_col,
         id_col,
-        F.round(cosine_expr(F.col("_qvec"), F.col("_vvec")), round_scale).alias("cosine"),
+        F.round(
+            _cosine_ridden(
+                F.col("_qvec"), F.col("_vvec"), F.col("_qn"), F.col("_vn")
+            ),
+            round_scale,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -236,15 +260,24 @@ def cosine_near_duplicates_banded(
             )
             .distinct()
         )
-    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    va = vectors.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(va, "a")
         .join(vb, "b")
         .select(
             "a", "b",
             F.round(
-                cosine_expr(F.col("_va"), F.col("_vb")), round_scale
+                _cosine_ridden(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                round_scale,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -378,16 +411,23 @@ def cosine_topk_ivf(
             ),
         )
         .where(F.col("_prank") <= nprobe)
-        .select(query_id_col, "_qvec", "list_id")
+        .select(
+            query_id_col, "_qvec", "list_id",
+            _norm(F.col("_qvec")).alias("_qn"),
+        )
     )
 
     scored = (
-        lists.join(F.broadcast(probes), "list_id")
+        lists.withColumn("_vn", _norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "list_id")
         .select(
             query_id_col,
             id_col,
             F.round(
-                cosine_expr(F.col("_qvec"), F.col(vec_col)), round_scale
+                _cosine_ridden(
+                    F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_vn")
+                ),
+                round_scale,
             ).alias("cosine"),
         )
     )
@@ -408,8 +448,14 @@ def cosine_near_duplicates(
     buckets (the 100-TB path — the join key prunes the quadratic blow-up);
     with 0 it is the exact brute-force self-join (small inputs / oracle).
     """
-    left = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    right = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    left = vectors.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    right = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     if n_planes > 0:
         assert dim is not None
         bk = rhp_buckets(vectors, dim, n_planes, seed, id_col, vec_col)
@@ -421,7 +467,12 @@ def cosine_near_duplicates(
     return (
         joined.select(
             "a", "b",
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), round_scale).alias("cosine"),
+            F.round(
+                _cosine_ridden(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                round_scale,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -128,6 +128,48 @@ def test_multimodal_image_resize(spark):
     assert bytes(r.pixels) == bytes(again.pixels)
 
 
+def test_cosine_ridden_norms_bit_identical(spark):
+    # round 7: pair scoring rides per-vector norms through the join
+    # (_cosine_ridden) instead of recomputing them per pair
+    # (cosine_expr). The values must be BIT-identical — same
+    # sqrt(aggregate(zip_with)) tree on the same arrays, evaluated once
+    # per vector instead of once per pair — including the zero-vector
+    # guard branch. Compared UNROUNDED so even a 1-ulp drift fails.
+    from fastcdc_rs_spark.operators.knn import _cosine_ridden, _norm, cosine_expr
+
+    rng = np.random.default_rng(23)
+    rows = [(0, [0.0] * 8)]                                   # zero vector
+    base = rng.standard_normal(8)
+    for i in range(1, 20):
+        v = base + rng.standard_normal(8) * (0.01 if i < 10 else 1.0)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(20) for b in range(a + 1, 20)], "a long, b long"
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("_va"),
+        _norm(F.col("embedding")).alias("_na"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"),
+        _norm(F.col("embedding")).alias("_nb"),
+    )
+    joined = pairs.join(va, "a").join(vb, "b")
+    got = joined.select(
+        "a", "b",
+        cosine_expr(F.col("_va"), F.col("_vb")).alias("per_pair"),
+        _cosine_ridden(
+            F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+        ).alias("ridden"),
+    ).collect()
+    assert len(got) == 190
+    for r in got:
+        assert r.per_pair == r.ridden, (r.a, r.b, r.per_pair, r.ridden)
+    # the zero-vector pairs exercise the otherwise(0.0) branch
+    assert all(r.ridden == 0.0 for r in got if r.a == 0)
+
+
 def test_rhp_bucket_collision_property(spark):
     rng = np.random.default_rng(9)
     base = rng.standard_normal(64).astype(np.float32)
